@@ -1,0 +1,136 @@
+"""LongVITA VLM: InternViT encoder + pixel-shuffle projector + Qwen2.5 decoder.
+
+Behavioral parity target: reference modeling_long_vita.py:74-160 —
+encode image tiles only on prefill (empty KV cache), strip the CLS token,
+project, then scatter the projected features into the token embedding table
+at `image_indices` (a [2, N_img, image_token_length] (batch, seq) index pair,
+:143-147). The decoder then runs as plain Qwen2.
+
+The reference's fake-image `*0.0` autograd trick (:110-116,140-141) is not
+needed: JAX differentiates pure functions, there are no DDP bucket hooks to
+keep alive.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.config import LongVITAConfig
+from long_vita_tpu.models import qwen2
+from long_vita_tpu.models.intern_vit import init_vit_params, intern_vit
+from long_vita_tpu.models.projector import init_projector_params, project_features
+from long_vita_tpu.models.qwen2 import KVCache, init_qwen2_params, qwen2_decoder
+
+Params = dict[str, Any]
+
+
+def encode_images(
+    params: Params,
+    images: jnp.ndarray,
+    cfg: LongVITAConfig,
+    *,
+    chunk: int = 0,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """[N_tiles, H, W, 3] -> [N_tiles, image_token_length, lm_hidden].
+
+    `chunk` > 0 splits the tile batch through lax.map to bound ViT activation
+    memory at 4k-frame scale (replacing the reference's 256-image chunked
+    forward, pretrain_long_vita.py:522-533).
+    """
+
+    def _encode(tiles):
+        feats = intern_vit(params["vision"], tiles, cfg.vision, remat=remat)
+        feats = feats[:, 1:, :]  # strip CLS (reference modeling_long_vita.py:97)
+        return project_features(params["projector"], feats, cfg)
+
+    n = images.shape[0]
+    if chunk and n > chunk and n % chunk == 0:
+        batched = images.reshape(n // chunk, chunk, *images.shape[1:])
+        out = jax.lax.map(_encode, batched)
+        return out.reshape(n, out.shape[2], out.shape[3])
+    return _encode(images)
+
+
+def merge_image_embeddings(
+    inputs_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    image_indices: jnp.ndarray,
+) -> jnp.ndarray:
+    """Scatter projected tile features into token embeddings.
+
+    inputs_embeds: [B, S, H]; image_embeds: [N_tiles, T, H];
+    image_indices: [2, N_tiles, T] of (batch, seq) positions
+    (reference modeling_long_vita.py:143-147).
+    """
+    b_idx = image_indices[0].reshape(-1)
+    s_idx = image_indices[1].reshape(-1)
+    flat = image_embeds.reshape(-1, image_embeds.shape[-1]).astype(
+        inputs_embeds.dtype
+    )
+    return inputs_embeds.at[b_idx, s_idx].set(flat)
+
+
+def long_vita_forward(
+    params: Params,
+    input_ids: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cfg: LongVITAConfig,
+    *,
+    images: Optional[jnp.ndarray] = None,
+    image_indices: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[KVCache] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    logit_positions: Optional[jnp.ndarray] = None,
+    vision_chunk: int = 0,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Full VLM forward.
+
+    logit_positions: optional [B, M] seq positions at which to compute logits
+    — the logits-masked LM head (reference tensor_parallel/layers.py:402-407
+    and gpt_vl_model.py:371-382): gather the M supervised/needed rows before
+    the vocab GEMM so the [S, vocab] tensor never materializes at S=1M.
+
+    Returns (logits [B, S or M, vocab] f32, updated kv cache).
+    """
+    inputs_embeds = qwen2.embed_tokens(params["text"], input_ids)
+    if images is not None:
+        image_embeds = encode_images(
+            params, images, cfg, chunk=vision_chunk, remat=remat
+        )
+        inputs_embeds = merge_image_embeddings(
+            inputs_embeds, image_embeds, image_indices
+        )
+
+    hidden, new_cache = qwen2_decoder(
+        params["text"],
+        inputs_embeds,
+        position_ids,
+        cfg.text,
+        kv_cache=kv_cache,
+        segment_ids=segment_ids,
+        attn_impl=attn_impl,
+        remat=remat,
+    )
+
+    if logit_positions is not None:
+        hidden = jnp.take_along_axis(
+            hidden, logit_positions[:, :, None], axis=1
+        )
+    logits = qwen2.lm_head(params["text"], hidden)
+    return logits, new_cache
+
+
+def init_long_vita_params(
+    rng: jax.Array, cfg: LongVITAConfig, dtype=jnp.float32
+) -> Params:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params: Params = {"text": init_qwen2_params(k1, cfg.text, dtype)}
+    if cfg.vision is not None:
+        params["vision"] = init_vit_params(k2, cfg.vision, dtype)
+        params["projector"] = init_projector_params(k3, cfg, dtype)
+    return params

@@ -1,0 +1,267 @@
+"""Qwen2.5 decoder as pure functions over a stacked-layer pytree.
+
+Behavioral parity target: the HF Qwen2 path used by the released
+Long-VITA-*_HF checkpoints (reference modeling_long_vita.py:57-311 builds on
+transformers' Qwen2Model). Architecture: RMSNorm (eps 1e-6), GQA attention
+with q/k/v bias + rotate-half RoPE (theta 1e6), SwiGLU MLP, untied lm_head.
+
+TPU-first design decisions (vs the reference's Megatron layer classes):
+  - All 48 layers share one compiled body via lax.scan over stacked params
+    ([L, ...] leading dim) — one MXU-shaped matmul chain, compile time O(1)
+    in depth, and rematerialization is a single jax.checkpoint policy on the
+    scan body (replacing Megatron's --recompute-num-layers machinery,
+    reference stage4.sh full recompute of 48 layers).
+  - No attention-mask tensors: masks are derived from positions/segment ids
+    inside the attention kernel (see ops/attention.py).
+  - KV cache is a preallocated [L, B, Smax, Hkv, D] buffer updated with
+    dynamic_update_slice inside the scan — static shapes, jit-stable decode.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.config import TextConfig
+from long_vita_tpu.ops.attention import dot_product_attention
+from long_vita_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Params = dict[str, Any]
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with f32 variance, matching HF Qwen2RMSNorm numerics."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return weight * xf.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape KV cache: k/v are [L, B, Smax, Hkv, D]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32: number of valid positions
+
+    @classmethod
+    def zeros(
+        cls, cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (
+            cfg.num_hidden_layers,
+            batch,
+            max_len,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "length"], meta_fields=[]
+)
+
+
+def _attention_block(
+    layer: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cfg: TextConfig,
+    cache_kv: Optional[tuple[jnp.ndarray, jnp.ndarray]],
+    cache_len: Optional[jnp.ndarray],
+    position_ids: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],
+    attn_impl: str,
+):
+    b, s, h = x.shape
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = (x @ layer["q_proj"]["kernel"] + layer["q_proj"]["bias"]).reshape(b, s, hq, d)
+    k = (x @ layer["k_proj"]["kernel"] + layer["k_proj"]["bias"]).reshape(b, s, hkv, d)
+    v = (x @ layer["v_proj"]["kernel"] + layer["v_proj"]["bias"]).reshape(b, s, hkv, d)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache_kv = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        new_cache_kv = (ck, cv)
+        out = dot_product_attention(
+            q,
+            ck,
+            cv,
+            causal=True,
+            q_positions=position_ids,
+            kv_positions=jnp.broadcast_to(jnp.arange(ck.shape[1]), (b, ck.shape[1])),
+            kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+            impl=attn_impl,
+        )
+    else:
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            causal=True,
+            q_positions=position_ids,
+            kv_positions=position_ids,
+            q_segment_ids=segment_ids,
+            kv_segment_ids=segment_ids,
+            impl=attn_impl,
+        )
+
+    out = out.reshape(b, s, hq * d) @ layer["o_proj"]["kernel"]
+    return out, new_cache_kv
+
+
+def _mlp_block(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    gate = x @ layer["gate_proj"]["kernel"]
+    up = x @ layer["up_proj"]["kernel"]
+    return (jax.nn.silu(gate) * up) @ layer["down_proj"]["kernel"]
+
+
+def decoder_layer(
+    layer: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cfg: TextConfig,
+    cache_kv,
+    cache_len,
+    position_ids,
+    segment_ids,
+    attn_impl: str,
+):
+    attn_out, new_cache_kv = _attention_block(
+        layer,
+        rms_norm(x, layer["input_norm"], cfg.rms_norm_eps),
+        cos,
+        sin,
+        cfg,
+        cache_kv,
+        cache_len,
+        position_ids,
+        segment_ids,
+        attn_impl,
+    )
+    x = x + attn_out
+    x = x + _mlp_block(layer, rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps))
+    return x, new_cache_kv
+
+
+def qwen2_decoder(
+    params: Params,
+    inputs_embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cfg: TextConfig,
+    *,
+    kv_cache: Optional[KVCache] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the stacked decoder.
+
+    inputs_embeds: [B, S, H]; position_ids: [B, S].
+    Returns (final_norm(hidden) [B, S, H], updated kv_cache or None).
+    """
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    layers = params["layers"]
+
+    def body(carry, layer_and_cache):
+        x = carry
+        if kv_cache is not None:
+            layer, (ck, cv) = layer_and_cache
+            x, (nk, nv) = decoder_layer(
+                layer, x, cos, sin, cfg, (ck, cv), kv_cache.length,
+                position_ids, segment_ids, attn_impl,
+            )
+            return x, (nk, nv)
+        layer = layer_and_cache
+        x, _ = decoder_layer(
+            layer, x, cos, sin, cfg, None, None,
+            position_ids, segment_ids, attn_impl,
+        )
+        return x, None
+
+    if remat:
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.nothing_saveable
+        )
+
+    if kv_cache is not None:
+        hidden, (nk, nv) = jax.lax.scan(
+            body, inputs_embeds, (layers, (kv_cache.k, kv_cache.v))
+        )
+        new_cache = KVCache(
+            k=nk, v=nv, length=kv_cache.length + inputs_embeds.shape[1]
+        )
+    else:
+        hidden, _ = jax.lax.scan(body, inputs_embeds, layers)
+        new_cache = None
+
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"]["embedding"][input_ids]
+
+
+def lm_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project hidden states to vocab logits (f32 for stable sampling/loss)."""
+    return jnp.einsum(
+        "...h,hv->...v",
+        hidden,
+        params["lm_head"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def init_qwen2_params(
+    rng: jax.Array, cfg: TextConfig, dtype=jnp.float32
+) -> Params:
+    """Random init (testing / from-scratch pretraining)."""
+    l, h = cfg.num_hidden_layers, cfg.hidden_size
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    i = cfg.intermediate_size
+    keys = iter(jax.random.split(rng, 16))
+
+    def dense(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "embed": {"embedding": dense(next(keys), (cfg.vocab_size, h))},
+        "layers": {
+            "input_norm": jnp.ones((l, h), dtype),
+            "post_attn_norm": jnp.ones((l, h), dtype),
+            "q_proj": {
+                "kernel": dense(next(keys), (l, h, hq * d)),
+                "bias": jnp.zeros((l, hq * d), dtype),
+            },
+            "k_proj": {
+                "kernel": dense(next(keys), (l, h, hkv * d)),
+                "bias": jnp.zeros((l, hkv * d), dtype),
+            },
+            "v_proj": {
+                "kernel": dense(next(keys), (l, h, hkv * d)),
+                "bias": jnp.zeros((l, hkv * d), dtype),
+            },
+            "o_proj": {"kernel": dense(next(keys), (l, hq * d, h))},
+            "gate_proj": {"kernel": dense(next(keys), (l, h, i))},
+            "up_proj": {"kernel": dense(next(keys), (l, h, i))},
+            "down_proj": {"kernel": dense(next(keys), (l, i, h))},
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": {"kernel": dense(next(keys), (h, cfg.vocab_size))},
+    }

@@ -1,0 +1,168 @@
+"""Attention dispatch: Pallas flash kernels on TPU, XLA reference elsewhere.
+
+Replaces the reference's attention dispatch layer
+(long_vita_megatron/core/transformer/dot_product_attention.py:294-394), which
+routes between flash-attn CUDA kernels (causal LLM / non-causal ViT / packed
+varlen) and MindSpeed ring kernels. Here the same routing is:
+
+  - ViT: non-causal flash (no mask)
+  - decoder prefill: causal flash, optionally with segment ids (packed varlen
+    replacing the reference's position_ids-based flash_attn varlen path)
+  - decoder decode (Sq==1 or tiny): XLA dot attention against the KV cache —
+    bandwidth-bound, XLA is at speed of light already
+  - context parallelism handled a level above (ops/ring_attention.py)
+
+All masks are computed from positions/segments rather than materialized
+[S, S] tensors, so nothing quadratic ever hits HBM outside the kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -2.0**30  # large-but-finite: keeps masked softmax NaN-free in f32
+
+
+def _gqa_repeat(k: jnp.ndarray, num_q_heads: int) -> jnp.ndarray:
+    """[B,S,Hkv,D] -> [B,S,Hq,D] by repeating each KV head."""
+    b, s, hkv, d = k.shape
+    if hkv == num_q_heads:
+        return k
+    group = num_q_heads // hkv
+    return jnp.repeat(k, group, axis=2)
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+    logits_soft_cap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention in pure XLA. f32 softmax, output in q.dtype.
+
+    q: [B, Sq, Hq, D]; k, v: [B, Skv, Hkv, D].
+    q_positions/kv_positions: absolute token positions (default arange), used
+      for the causal mask — lets a KV-cache decode step pass its true offset.
+    segment ids: packed-sequence isolation (attend only within same segment).
+    kv_valid_len: [B] number of valid cache slots (mask the tail).
+    """
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    k = _gqa_repeat(k, hq)
+    v = _gqa_repeat(v, hq)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if logits_soft_cap is not None:
+        logits = logits_soft_cap * jnp.tanh(logits / logits_soft_cap)
+
+    mask = None
+
+    def _and(m, new):
+        return new if m is None else jnp.logical_and(m, new)
+
+    if causal:
+        qpos = (
+            q_positions
+            if q_positions is not None
+            else jnp.broadcast_to(jnp.arange(sq), (b, sq))
+        )
+        kpos = (
+            kv_positions
+            if kv_positions is not None
+            else jnp.broadcast_to(jnp.arange(skv), (b, skv))
+        )
+        mask = _and(mask, kpos[:, None, :] <= qpos[:, :, None])  # [B,Sq,Skv]
+    if q_segment_ids is not None:
+        mask = _and(
+            mask, q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        )
+    if kv_valid_len is not None:
+        mask = _and(
+            mask, jnp.arange(skv)[None, None, :] < kv_valid_len[:, None, None]
+        )
+
+    if mask is not None:
+        logits = jnp.where(mask[:, None, :, :], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Main attention entry point. Shapes as xla_attention."""
+    if impl == "auto":
+        impl = _pick_impl(q, k, causal, kv_valid_len)
+    if impl == "flash":
+        from long_vita_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q,
+            k,
+            v,
+            causal=causal,
+            q_positions=q_positions,
+            kv_positions=kv_positions,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+        )
+    return xla_attention(
+        q,
+        k,
+        v,
+        causal=causal,
+        q_positions=q_positions,
+        kv_positions=kv_positions,
+        q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids,
+        kv_valid_len=kv_valid_len,
+    )
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pick_impl(q, k, causal, kv_valid_len) -> str:
+    sq, skv = q.shape[1], k.shape[1]
+    if not _on_tpu():
+        return "xla"
+    if kv_valid_len is not None:
+        return "xla"  # decode against padded cache: bandwidth-bound
+    if sq < 256 or skv < 256:
+        return "xla"  # too small to tile profitably
+    if sq % 128 or skv % 128:
+        return "xla"
+    return "flash"

@@ -1,0 +1,19 @@
+"""Test harness: run everything on an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding/CP tests use XLA's
+host-platform device virtualization instead (same SPMD partitioner). The
+container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so we must
+override through jax.config (env vars alone are too late).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
