@@ -1,0 +1,690 @@
+"""Pallas TPU flash attention (forward + backward, custom VJP).
+
+TPU-native replacement for the reference's flash-attn 2 CUDA dependency
+(SURVEY.md N2; consumed at dot_product_attention.py:294-394 and
+long_vita/models/.../flash_attention.py:15). One kernel covers all three
+reference routes:
+
+  - causal LLM prefill (flash_attn_func causal)
+  - non-causal ViT (seq==vision_seq_length branch)
+  - packed varlen via segment ids (HF position_ids varlen path)
+
+plus the pieces ring attention needs that the CUDA kernel lacks natively:
+explicit q/kv position offsets (so a context-parallel shard computes exact
+causal masks against remote KV chunks) and an LSE output for cross-step
+softmax combination.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  - Kernels work on head-major [B, H, S, D] so the (S, D) block tail meets
+    TPU tiling; the public wrapper accepts model-layout [B, S, H, D].
+  - Grid (B, Hq, n_q, n_kv), innermost kv dim "arbitrary" (sequential);
+    online-softmax state lives in VMEM scratch across kv steps.
+  - Causal skipping: the k/v BlockSpec index_map clamps kv block indices
+    past the diagonal to the diagonal block — consecutive grid steps that
+    map to the same block elide the DMA, so no HBM bandwidth is spent on
+    masked-out blocks; the compute is predicated off with pl.when.
+  - GQA: q head h reads kv head h // group inside the index_map; the dk/dv
+    backward accumulates the whole group in VMEM scratch (grid walks
+    (kv head, kv block, group x q block)) so no per-q-head f32 intermediate
+    is materialized at 1M tokens.
+  - All softmax math in f32; p cast to v dtype for the MXU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.0**30
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_KV = 512
+_LANE = 128
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _mask_block(
+    q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+    qseg_ref, kseg_ref,
+):
+    """kv-length / causal / segment mask for a [BQ, BK] logit block."""
+    kv_idx = jk * block_kv + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 1
+    )
+    mask = kv_idx < k_len
+    if causal:
+        q_pos = q_off + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0
+        )
+        kv_pos = k_off + jk * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+        mask = jnp.logical_and(mask, kv_pos <= q_pos)
+    if qseg_ref is not None:
+        mask = jnp.logical_and(
+            mask, qseg_ref[0, :][:, None] == kseg_ref[0, :][None, :]
+        )
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    qo_ref,  # (1,) q position offset
+    ko_ref,  # (1,) kv position offset
+    klen_ref,  # (1,) number of valid kv positions
+    # inputs
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BK, D]
+    v_ref,  # [1, 1, BK, D]
+    qseg_ref,  # [1, BQ] or None
+    kseg_ref,  # [1, BK] or None
+    # outputs
+    o_ref,  # [1, 1, BQ, D]
+    lse_ref,  # [1, 1, 1, BQ, 1]
+    # scratch
+    acc_ref,  # [BQ, D] f32
+    m_ref,  # [BQ, 1] f32
+    l_ref,  # [BQ, 1] f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+):
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+
+    q_off = qo_ref[0]
+    k_off = ko_ref[0]
+    k_len = klen_ref[0]
+
+    @pl.when(jk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Block-level validity: causal-skip blocks past the diagonal, and skip
+    # blocks entirely beyond the valid kv length.
+    q_blk_max = q_off + (iq + 1) * block_q - 1  # largest q position in block
+    kv_blk_min = k_off + jk * block_kv  # smallest kv position in block
+    compute = jk * block_kv < k_len
+    if causal:
+        compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+
+    @pl.when(compute)
+    def _step():
+        q = q_ref[0, 0]  # [BQ, D]
+        k = k_ref[0, 0]  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [BQ, BK]
+
+        mask = _mask_block(
+            q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+            qseg_ref, kseg_ref,
+        )
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]  # [BQ, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [BQ, BK] f32
+
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_new
+
+        v = v_ref[0, 0]  # [BK, D]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(jk == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse = m_ref[...] + jnp.log(l_safe)
+        lse = jnp.where(l == 0.0, NEG_INF, lse)
+        lse_ref[0, 0, 0] = lse
+
+
+def _fwd_kernel_noseg(qo, ko, klen, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      acc, m, l, **kw):
+    _fwd_kernel(qo, ko, klen, q_ref, k_ref, v_ref, None, None, o_ref,
+                lse_ref, acc, m, l, **kw)
+
+
+def _fwd(
+    q, k, v, q_offset, kv_offset, kv_len, q_segment_ids, kv_segment_ids,
+    *, causal: bool, block_q: int, block_kv: int, sm_scale: float,
+):
+    """q: [B, Hq, Sq, D]; k/v: [B, Hkv, Skv, D] (head-major, padded)."""
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    n_q = sq // block_q
+    n_kv = skv // block_kv
+
+    have_segs = q_segment_ids is not None
+
+    def q_index(b_, h, iq, jk, *_):
+        return (b_, h, iq, 0)
+
+    def _clamped_jk(iq, jk, qo, ko):
+        if not causal:
+            return jk
+        # Clamp past-diagonal blocks to the diagonal block; consecutive
+        # identical indices elide the DMA.
+        q_blk_max = qo[0] + (iq + 1) * block_q - 1
+        diag = jax.lax.div(q_blk_max - ko[0], block_kv)
+        return jnp.clip(jnp.minimum(jk, diag), 0, n_kv - 1)
+
+    def kv_index(b_, h, iq, jk, qo, ko, klen):
+        return (b_, h // group, _clamped_jk(iq, jk, qo, ko), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_index),
+        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d), kv_index),
+    ]
+    inputs = [q, k, v]
+    if have_segs:
+        in_specs += [
+            pl.BlockSpec((1, block_q), lambda b_, h, iq, jk, *_: (b_, iq)),
+            pl.BlockSpec(
+                (1, block_kv),
+                lambda b_, h, iq, jk, qo, ko, klen: (b_, _clamped_jk(iq, jk, qo, ko)),
+            ),
+        ]
+        inputs += [q_segment_ids, kv_segment_ids]
+        kernel = functools.partial(
+            _fwd_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_noseg, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), q_index),
+            pl.BlockSpec(
+                (1, 1, 1, block_q, 1),
+                lambda b_, h, iq, jk, *_: (b_, h, iq, 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, hq, n_q, block_q, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * hq * sq * skv,
+        ),
+    )(q_offset, kv_offset, kv_len, *inputs)
+    return o, lse.reshape(b, hq, sq)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (flash attention 2 style, recompute p from q/k + lse)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    qo_ref, ko_ref, klen_ref,
+    k_ref,  # [1, 1, BK, D]
+    v_ref,
+    q_ref,  # [1, 1, BQ, D]   (inner grid dim walks (group, q blocks))
+    do_ref,
+    lse_ref,  # [1, 1, 1, BQ, 1]
+    delta_ref,  # [1, 1, 1, BQ, 1]
+    qseg_ref, kseg_ref,
+    dk_ref,  # [1, 1, BK, D] out
+    dv_ref,
+    dk_acc, dv_acc,
+    *, causal, sm_scale, block_q, block_kv, num_q_blocks,
+):
+    # grid: (B, Hkv, n_kv, group * n_q) — dk/dv for one kv head accumulate
+    # across all q heads of its GQA group without a per-q-head intermediate.
+    jk = pl.program_id(2)
+    t = pl.program_id(3)
+    iq = jax.lax.rem(t, num_q_blocks)
+
+    q_off = qo_ref[0]
+    k_off = ko_ref[0]
+    k_len = klen_ref[0]
+
+    @pl.when(t == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    kv_blk_min = k_off + jk * block_kv
+    q_blk_max = q_off + (iq + 1) * block_q - 1
+    compute = jk * block_kv < k_len
+    if causal:
+        compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+
+    @pl.when(compute)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0]  # [BQ, 1]
+        delta = delta_ref[0, 0, 0]  # [BQ, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [BQ, BK]
+        mask = _mask_block(
+            q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+            qseg_ref, kseg_ref,
+        )
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask, p, 0.0)
+
+        # dv += p^T do
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dp = do v^T ; ds = p * (dp - delta)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        # dk += ds^T q
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == pl.num_programs(3) - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    qo_ref, ko_ref, klen_ref,
+    q_ref, do_ref, lse_ref, delta_ref,
+    k_ref, v_ref,
+    qseg_ref, kseg_ref,
+    dq_ref,
+    dq_acc,
+    *, causal, sm_scale, block_q, block_kv, num_kv_blocks,
+):
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+
+    q_off = qo_ref[0]
+    k_off = ko_ref[0]
+    k_len = klen_ref[0]
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    kv_blk_min = k_off + jk * block_kv
+    q_blk_max = q_off + (iq + 1) * block_q - 1
+    compute = jk * block_kv < k_len
+    if causal:
+        compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+
+    @pl.when(compute)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0]  # [BQ, 1]
+        delta = delta_ref[0, 0, 0]  # [BQ, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        mask = _mask_block(
+            q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+            qseg_ref, kseg_ref,
+        )
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jk == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom VJP core (head-major, padded shapes)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_core(
+    q, k, v, q_offset, kv_offset, kv_len, segs,
+    causal, block_q, block_kv, true_head_dim,
+):
+    o, _ = _flash_core_fwd(
+        q, k, v, q_offset, kv_offset, kv_len, segs,
+        causal, block_q, block_kv, true_head_dim,
+    )
+    return o
+
+
+def _flash_core_fwd(
+    q, k, v, q_offset, kv_offset, kv_len, segs,
+    causal, block_q, block_kv, true_head_dim,
+):
+    o, lse = _fwd(
+        q, k, v, q_offset, kv_offset, kv_len, segs[0], segs[1],
+        causal=causal, block_q=block_q, block_kv=block_kv,
+        sm_scale=1.0 / (true_head_dim ** 0.5),
+    )
+    return o, (q, k, v, o, lse, q_offset, kv_offset, kv_len, segs)
+
+
+def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
+    q, k, v, o, lse, q_offset, kv_offset, kv_len, segs = res
+    b, hq, sq_pad, d_pad = q.shape
+    hkv, skv_pad = k.shape[1], k.shape[2]
+    group = hq // hkv
+    n_q = sq_pad // block_q
+    n_kv = skv_pad // block_kv
+    sm_scale = 1.0 / (true_head_dim ** 0.5)
+
+    # delta = rowsum(do * o) (d padding contributes zeros)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # [B, Hq, Sq_pad]
+    # TPU-tileable 5D layout for per-row stats: (B, Hq, n_q, BQ, 1)
+    lse5 = lse.reshape(b, hq, n_q, block_q, 1)
+    delta5 = delta.reshape(b, hq, n_q, block_q, 1)
+    g = g.astype(q.dtype)
+
+    have_segs = segs[0] is not None
+
+    # ---- dk/dv: grid (B, Hkv, n_kv, group*n_q)
+    def q_index(b_, h, jk, t, *_):
+        return (b_, h * group + t // n_q, jax.lax.rem(t, n_q), 0)
+
+    def kv_index(b_, h, jk, t, *_):
+        return (b_, h, jk, 0)
+
+    def lse_index(b_, h, jk, t, *_):
+        return (b_, h * group + t // n_q, jax.lax.rem(t, n_q), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+        pl.BlockSpec((1, 1, 1, block_q, 1), lse_index),
+        pl.BlockSpec((1, 1, 1, block_q, 1), lse_index),
+    ]
+    inputs = [k, v, q, g, lse5, delta5]
+    if have_segs:
+        in_specs += [
+            pl.BlockSpec(
+                (1, block_q), lambda b_, h, jk, t, *_: (b_, jax.lax.rem(t, n_q))
+            ),
+            pl.BlockSpec((1, block_kv), lambda b_, h, jk, t, *_: (b_, jk)),
+        ]
+        inputs += [segs[0], segs[1]]
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, num_q_blocks=n_q,
+        )
+    else:
+        def dkv_kernel(qo, ko, klen, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, dka, dva):
+            _bwd_dkv_kernel(
+                qo, ko, klen, k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                None, None, dk_ref, dv_ref, dka, dva,
+                causal=causal, sm_scale=sm_scale, block_q=block_q,
+                block_kv=block_kv, num_q_blocks=n_q,
+            )
+
+    dkv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv, n_kv, group * n_q),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+            pltpu.VMEM((block_kv, d_pad), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=dkv_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q_offset, kv_offset, kv_len, *inputs)
+
+    # ---- dq: grid (B, Hq, n_q, n_kv)
+    def q_index2(b_, h, iq, jk, *_):
+        return (b_, h, iq, 0)
+
+    def _clamped_jk(iq, jk, qo, ko):
+        if not causal:
+            return jk
+        q_blk_max = qo[0] + (iq + 1) * block_q - 1
+        diag = jax.lax.div(q_blk_max - ko[0], block_kv)
+        return jnp.clip(jnp.minimum(jk, diag), 0, n_kv - 1)
+
+    def kv_index2(b_, h, iq, jk, qo, ko, klen):
+        return (b_, h // group, _clamped_jk(iq, jk, qo, ko), 0)
+
+    in_specs2 = [
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index2),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index2),
+        pl.BlockSpec(
+            (1, 1, 1, block_q, 1),
+            lambda b_, h, iq, jk, *_: (b_, h, iq, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, block_q, 1),
+            lambda b_, h, iq, jk, *_: (b_, h, iq, 0, 0),
+        ),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index2),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index2),
+    ]
+    inputs2 = [q, g, lse5, delta5, k, v]
+    if have_segs:
+        in_specs2 += [
+            pl.BlockSpec((1, block_q), lambda b_, h, iq, jk, *_: (b_, iq)),
+            pl.BlockSpec(
+                (1, block_kv),
+                lambda b_, h, iq, jk, qo, ko, klen: (b_, _clamped_jk(iq, jk, qo, ko)),
+            ),
+        ]
+        inputs2 += [segs[0], segs[1]]
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,
+        )
+    else:
+        def dq_kernel(qo, ko, klen, q_ref, do_ref, lse_ref, delta_ref,
+                      k_ref, v_ref, dq_ref, dqa):
+            _bwd_dq_kernel(
+                qo, ko, klen, q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                None, None, dq_ref, dqa,
+                causal=causal, sm_scale=sm_scale, block_q=block_q,
+                block_kv=block_kv, num_kv_blocks=n_kv,
+            )
+
+    dq_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=in_specs2,
+        out_specs=[pl.BlockSpec((1, 1, block_q, d_pad), q_index2)],
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+    )
+    (dq,) = pl.pallas_call(
+        dq_kernel,
+        grid_spec=dq_grid,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q_offset, kv_offset, kv_len, *inputs2)
+
+    return dq, dk, dv, None, None, None, (None, None)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API (model layout [B, S, H, D])
+# ---------------------------------------------------------------------------
+
+
+def _prepare(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
+    """Transpose to head-major, pad head_dim to lane width and seq lens to
+    block multiples. Padded kv positions are masked by kv_len."""
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    d_pad = _round_up(d, _LANE)
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_kv)
+
+    def prep(x, s_target):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]
+        pads = [(0, 0), (0, 0), (0, s_target - x.shape[2]), (0, d_pad - x.shape[3])]
+        if any(p != (0, 0) for p in pads):
+            x = jnp.pad(x, pads)
+        return x
+
+    qp, kp, vp = prep(q, sq_pad), prep(k, skv_pad), prep(v, skv_pad)
+    segs = (None, None)
+    if q_segment_ids is not None:
+        qs = jnp.pad(q_segment_ids, ((0, 0), (0, sq_pad - sq)), constant_values=-1)
+        ks = jnp.pad(kv_segment_ids, ((0, 0), (0, skv_pad - skv)), constant_values=-2)
+        segs = (qs.astype(jnp.int32), ks.astype(jnp.int32))
+    return qp, kp, vp, segs
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    q_offset=0,
+    kv_offset=0,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+    return_lse: bool = False,
+):
+    """Flash attention on TPU.
+
+    q: [B, Sq, Hq, D]; k, v: [B, Skv, Hkv, D]. Output [B, Sq, Hq, D].
+    Positions are assumed contiguous from the given offsets (for arbitrary
+    per-token positions use the XLA path; ring attention always works on
+    contiguous chunks so offsets suffice). If q_positions/kv_positions are
+    given they must be arange + offset; the offset is taken from element 0.
+    return_lse: also return the log-sum-exp [B, Hq, Sq] (f32) — needed for
+    ring-attention accumulation. (The LSE path is forward-only.)
+    """
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(skv, 128))
+
+    if q_positions is not None:
+        q_offset = q_positions[0, 0]
+    if kv_positions is not None:
+        kv_offset = kv_positions[0, 0]
+
+    qo = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    ko = jnp.asarray(kv_offset, jnp.int32).reshape(1)
+    klen = jnp.asarray([skv], jnp.int32)
+
+    qp, kp, vp, segs = _prepare(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv
+    )
+
+    if return_lse:
+        o, lse = _fwd(
+            qp, kp, vp, qo, ko, klen, segs[0], segs[1],
+            causal=causal, block_q=block_q, block_kv=block_kv,
+            sm_scale=1.0 / (d ** 0.5),
+        )
+        o = jnp.transpose(o, (0, 2, 1, 3))[:, :sq, :, :d]
+        return o, lse[:, :, :sq]
+
+    o = _flash_core(
+        qp, kp, vp, qo, ko, klen, segs, causal, block_q, block_kv, d
+    )
+    return jnp.transpose(o, (0, 2, 1, 3))[:, :sq, :, :d]

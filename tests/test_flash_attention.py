@@ -1,0 +1,144 @@
+"""Flash attention kernel vs XLA reference — forward and gradients.
+
+Runs in Pallas interpreter mode on CPU (same kernel code path as TPU).
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.ops.attention import xla_attention
+from long_vita_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(rng, b, sq, skv, hq, hkv, d):
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, hkv, d)), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (4, 2)])
+def test_flash_forward_matches_xla(causal, hq, hkv):
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, 2, 256, 256, hq, hkv, 64)
+    got = flash_attention(q, k, v, causal=causal, block_q=128, block_kv=128)
+    want = xla_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_forward_unaligned_seq():
+    """Sq=Skv=200 (not a block multiple): padding must not change results."""
+    rng = np.random.default_rng(1)
+    q, k, v = _rand_qkv(rng, 1, 200, 200, 2, 2, 64)
+    got = flash_attention(q, k, v, causal=True, block_q=128, block_kv=128)
+    want = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_offsets_match_decode_semantics():
+    """q chunk at offset 128 attending to kv [0, 256) == causal full slice."""
+    rng = np.random.default_rng(2)
+    q, k, v = _rand_qkv(rng, 1, 256, 256, 2, 2, 64)
+    full = xla_attention(q, k, v, causal=True)
+
+    q2 = q[:, 128:]
+    got = flash_attention(
+        q2, k, v, causal=True, q_offset=128, kv_offset=0,
+        block_q=128, block_kv=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(full[:, 128:]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_segment_ids():
+    rng = np.random.default_rng(3)
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = _rand_qkv(rng, b, s, s, h, h, d)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(100), np.ones(156)])[None], jnp.int32
+    )
+    got = flash_attention(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+        block_q=128, block_kv=128,
+    )
+    want = xla_attention(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_gradients_match_xla(causal):
+    rng = np.random.default_rng(4)
+    q, k, v = _rand_qkv(rng, 1, 256, 256, 4, 2, 64)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=causal, block_q=128, block_kv=128)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_gradients_with_segments():
+    rng = np.random.default_rng(5)
+    q, k, v = _rand_qkv(rng, 1, 256, 256, 2, 2, 64)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(128), np.ones(128)])[None], jnp.int32
+    )
+
+    def loss(fn):
+        def inner(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(o**2)
+        return inner
+
+    f = loss(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+            block_q=128, block_kv=128,
+        )
+    )
+    x = loss(
+        lambda q, k, v: xla_attention(
+            q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
+        )
+    )
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(x, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_lse_output():
+    """LSE must match log(sum(exp(logits))) from the XLA path."""
+    rng = np.random.default_rng(6)
+    q, k, v = _rand_qkv(rng, 1, 128, 128, 2, 2, 64)
+    o, lse = flash_attention(
+        q, k, v, causal=True, block_q=128, block_kv=128, return_lse=True
+    )
+    # manual reference
+    scale = 1.0 / np.sqrt(64)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    mask = np.tril(np.ones((128, 128), bool))
+    logits = np.where(mask[None, None], logits, -np.inf)
+    want_lse = np.log(np.sum(np.exp(logits), axis=-1))  # [B,H,S]
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=1e-5, atol=1e-5)
