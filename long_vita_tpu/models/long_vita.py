@@ -87,6 +87,7 @@ def long_vita_forward(
     vision_chunk: int = 0,
     attn_impl: str = "auto",
     remat: bool = False,
+    parallel=None,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full VLM forward.
 
@@ -115,6 +116,7 @@ def long_vita_forward(
         segment_ids=segment_ids,
         attn_impl=attn_impl,
         remat=remat,
+        parallel=parallel,
     )
 
     if logit_positions is not None:

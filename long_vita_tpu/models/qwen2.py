@@ -31,6 +31,22 @@ from long_vita_tpu.ops.rope import apply_rope, rope_cos_sin
 Params = dict[str, Any]
 
 
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh context for context-parallel (ring) attention.
+
+    When set (and not decoding from a KV cache), decoder self-attention runs
+    as zigzag ring attention over `axis_cp` via shard_map; inputs must
+    already be zigzag-permuted (parallel/zigzag.py). Heads shard over
+    `axis_tp`, batch over `axis_dp`.
+    """
+
+    mesh: Any  # jax.sharding.Mesh
+    axis_dp: str = "dp"
+    axis_cp: str = "cp"
+    axis_tp: str = "tp"
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     """RMSNorm with f32 variance, matching HF Qwen2RMSNorm numerics."""
     xf = x.astype(jnp.float32)
@@ -70,6 +86,41 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _ring_attention_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],
+    parallel: "ParallelConfig",
+):
+    """Zigzag ring attention over the cp axis (shard_map + ppermute)."""
+    from jax.sharding import PartitionSpec as P
+
+    from long_vita_tpu.ops.ring_attention import ring_attention
+
+    spec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
+    if segment_ids is None:
+        fn = jax.shard_map(
+            lambda q_, k_, v_: ring_attention(
+                q_, k_, v_, parallel.axis_cp, False, None, None
+            ),
+            mesh=parallel.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )
+        return fn(q, k, v)
+    sspec = P(parallel.axis_dp, parallel.axis_cp)
+    fn = jax.shard_map(
+        lambda q_, k_, v_, s_: ring_attention(
+            q_, k_, v_, parallel.axis_cp, True, s_, s_
+        ),
+        mesh=parallel.mesh,
+        in_specs=(spec, spec, spec, sspec),
+        out_specs=spec,
+    )
+    return fn(q, k, v, segment_ids)
+
+
 def _attention_block(
     layer: Params,
     x: jnp.ndarray,
@@ -81,6 +132,7 @@ def _attention_block(
     position_ids: jnp.ndarray,
     segment_ids: Optional[jnp.ndarray],
     attn_impl: str,
+    parallel: Optional["ParallelConfig"] = None,
 ):
     b, s, h = x.shape
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -106,6 +158,8 @@ def _attention_block(
             kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
             impl=attn_impl,
         )
+    elif parallel is not None:
+        out = _ring_attention_sharded(q, k, v, segment_ids, parallel)
     else:
         out = dot_product_attention(
             q,
@@ -140,6 +194,7 @@ def decoder_layer(
     position_ids,
     segment_ids,
     attn_impl: str,
+    parallel: Optional[ParallelConfig] = None,
 ):
     attn_out, new_cache_kv = _attention_block(
         layer,
@@ -152,6 +207,7 @@ def decoder_layer(
         position_ids,
         segment_ids,
         attn_impl,
+        parallel,
     )
     x = x + attn_out
     x = x + _mlp_block(layer, rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps))
@@ -168,6 +224,7 @@ def qwen2_decoder(
     segment_ids: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    parallel: Optional[ParallelConfig] = None,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the stacked decoder.
 
@@ -190,7 +247,7 @@ def qwen2_decoder(
         layer = layer_and_cache
         x, _ = decoder_layer(
             layer, x, cos, sin, cfg, None, None,
-            position_ids, segment_ids, attn_impl,
+            position_ids, segment_ids, attn_impl, parallel,
         )
         return x, None
 

@@ -441,6 +441,22 @@ def _flash_core_fwd(
 
 def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
     q, k, v, o, lse, q_offset, kv_offset, kv_len, segs = res
+    # delta = rowsum(do * o) (d padding contributes zeros)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # [B, Hq, Sq_pad]
+    dq, dk, dv = _bwd_impl(
+        q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
+        causal, block_q, block_kv, true_head_dim,
+    )
+    return dq, dk, dv, None, None, None, (None, None)
+
+
+def _bwd_impl(
+    q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
+    causal, block_q, block_kv, true_head_dim,
+):
+    """Flash backward on head-major padded arrays; lse/delta [B, Hq, Sq_pad]."""
     b, hq, sq_pad, d_pad = q.shape
     hkv, skv_pad = k.shape[1], k.shape[2]
     group = hq // hkv
@@ -448,10 +464,6 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
     n_kv = skv_pad // block_kv
     sm_scale = 1.0 / (true_head_dim ** 0.5)
 
-    # delta = rowsum(do * o) (d padding contributes zeros)
-    delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # [B, Hq, Sq_pad]
     # TPU-tileable 5D layout for per-row stats: (B, Hq, n_q, BQ, 1)
     lse5 = lse.reshape(b, hq, n_q, block_q, 1)
     delta5 = delta.reshape(b, hq, n_q, block_q, 1)
@@ -595,10 +607,49 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
         ),
     )(q_offset, kv_offset, kv_len, *inputs2)
 
-    return dq, dk, dv, None, None, None, (None, None)
+    return dq, dk, dv
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _bwd_pair_pallas(
+    q, k, v, do, lse, delta, *, causal,
+    q_segment_ids=None, kv_segment_ids=None,
+    block_q: int = DEFAULT_BLOCK_Q, block_kv: int = DEFAULT_BLOCK_KV,
+):
+    """Pair-level backward for ring attention (model layout [B, S, H, D]).
+
+    lse/delta are the GLOBAL softmax statistics [B, Hq, Sq] (f32), so the
+    returned (dq, dk, dv) are exact partial gradients for this kv chunk.
+    """
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+
+    qp, kp, vp, segs = _prepare(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv
+    )
+    gp = _prepare(do, k, v, None, None, block_q, block_kv)[0]
+    # Padded q rows: lse=+big so p = exp(s - big) = 0 -> zero grads.
+    pads = ((0, 0), (0, 0), (0, sq_pad - sq))
+    lse_p = jnp.pad(lse, pads, constant_values=2.0**30)
+    delta_p = jnp.pad(delta, pads)
+
+    qo = jnp.zeros((1,), jnp.int32)
+    ko = jnp.zeros((1,), jnp.int32)
+    klen = jnp.asarray([skv], jnp.int32)
+
+    dq, dk, dv = _bwd_impl(
+        qp, kp, vp, gp, lse_p, delta_p, qo, ko, klen, segs,
+        causal, block_q, block_kv, d,
+    )
+    dq = jnp.transpose(dq, (0, 2, 1, 3))[:, :sq, :, :d]
+    dk = jnp.transpose(dk, (0, 2, 1, 3))[:, :skv, :, :d]
+    dv = jnp.transpose(dv, (0, 2, 1, 3))[:, :skv, :, :d]
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------

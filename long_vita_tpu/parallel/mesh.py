@@ -1,0 +1,76 @@
+"""Device mesh construction: the TPU-native replacement for the reference's
+NCCL process-group taxonomy (long_vita_megatron/core/parallel_state.py:51-1060,
+SURVEY.md N1).
+
+Where the reference builds eight explicit NCCL groups (tp/pp/dp/cp/cp2/
+cp-ulysses/cp-ring/exp), a TPU slice needs exactly one named mesh:
+
+    axes = (dp, cp, tp)
+
+  - "tp"  — tensor parallel, innermost (fastest ICI hops): weight-sharded
+    matmuls, GSPMD inserts the all-gather/reduce-scatters the reference
+    hand-codes in tensor_parallel/layers.py (sequence parallelism included).
+  - "cp"  — context parallel: the sequence dimension of activations; ring
+    attention rotates KV over this axis with ppermute (ops/ring_attention.py).
+  - "dp"  — data parallel, outermost (can span DCN); optimizer-state
+    sharding (ZeRO-1/FSDP) also lives here.
+
+Pipeline parallelism is deliberately absent: on TPU the idiomatic scaling
+path for a 14B model is FSDP(dp) x CP x TP over ICI (SURVEY.md §5
+"distributed communication backend"). The reference's PP=1 configs for the
+14B model agree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DP = "dp"
+AXIS_CP = "cp"
+AXIS_TP = "tp"
+AXES = (AXIS_DP, AXIS_CP, AXIS_TP)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = 1
+    cp: int = 1
+    tp: int = 1
+
+    @property
+    def size(self) -> int:
+        return self.dp * self.cp * self.tp
+
+
+def make_mesh(
+    cfg: Optional[MeshConfig] = None,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the (dp, cp, tp) mesh.
+
+    With no config, all local devices become cp (the long-context default).
+    Axis order (dp outermost, tp innermost) matches ICI locality: tp traffic
+    is densest, cp is ring-structured, dp is bulk gradient reduction.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg is None:
+        cfg = MeshConfig(cp=len(devices))
+    if cfg.size != len(devices):
+        raise ValueError(
+            f"mesh {cfg} needs {cfg.size} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.cp, cfg.tp)
+    return Mesh(arr, AXES)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))

@@ -1,0 +1,125 @@
+"""Sharded training step.
+
+Replaces the reference's forward_step/loss_func/pretrain glue
+(pretrain_long_vita.py:671-903): one jitted function over the (dp, cp, tp)
+mesh — GSPMD shards the matmuls (TP/SP), ring attention handles CP, and the
+loss reduction is a plain global sum (the CP loss all-reduce + `loss*cp_size`
+dance at :802-835 disappears because the arrays stay logically global).
+
+Batch contract (device arrays, already zigzag-permuted when cp > 1):
+  tokens       [B, S] int32
+  positions    [B, S] int32   (original positions — RoPE-correct under zigzag)
+  segment_ids  [B, S] int32   (packed-sequence isolation; all-ones if unpacked)
+  logit_positions [B, M] int32 (supervised rows, logits-masked head)
+  labels       [B, M] int32   (IGNORE_INDEX padded)
+  images       [N, H, W, 3] or None
+  image_indices [2, N, T] int32 or None (indices into the PERMUTED sequence)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from long_vita_tpu.config import LongVITAConfig
+from long_vita_tpu.models.long_vita import long_vita_forward
+from long_vita_tpu.models.qwen2 import ParallelConfig
+from long_vita_tpu.parallel.mesh import AXIS_CP, AXIS_DP
+from long_vita_tpu.parallel.sharding import long_vita_param_specs
+from long_vita_tpu.training.loss import cross_entropy
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)
+
+
+def loss_fn(
+    params: Params,
+    batch: dict[str, jnp.ndarray],
+    cfg: LongVITAConfig,
+    parallel: Optional[ParallelConfig],
+    remat: bool,
+    vision_chunk: int = 0,
+):
+    logits, _ = long_vita_forward(
+        params,
+        batch["tokens"],
+        batch["positions"],
+        cfg,
+        images=batch.get("images"),
+        image_indices=batch.get("image_indices"),
+        segment_ids=batch.get("segment_ids"),
+        logit_positions=batch["logit_positions"],
+        vision_chunk=vision_chunk,
+        remat=remat,
+        parallel=parallel,
+    )
+    loss_sum, count = cross_entropy(logits, batch["labels"])
+    return loss_sum / jnp.maximum(count, 1.0), count
+
+
+def make_train_step(
+    cfg: LongVITAConfig,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    *,
+    use_ring: bool = False,
+    remat: bool = True,
+    vision_chunk: int = 0,
+):
+    """Build the jitted train step. With a mesh, params/batch are expected
+    device-put with the sharding rules; the returned fn is donate-safe."""
+    parallel = ParallelConfig(mesh) if (mesh is not None and use_ring) else None
+
+    def train_step(state: TrainState, batch):
+        if mesh is not None:
+            batch = dict(batch)
+            for key, spec in (
+                ("tokens", P(AXIS_DP, AXIS_CP)),
+                ("positions", P(AXIS_DP, AXIS_CP)),
+                ("segment_ids", P(AXIS_DP, AXIS_CP)),
+            ):
+                if batch.get(key) is not None:
+                    batch[key] = jax.lax.with_sharding_constraint(
+                        batch[key], NamedSharding(mesh, spec)
+                    )
+        (loss, count), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, cfg, parallel, remat, vision_chunk)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "tokens": count,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def init_train_state(
+    params: Params, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
+) -> TrainState:
+    if mesh is not None:
+        specs = long_vita_param_specs(params)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        )
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
