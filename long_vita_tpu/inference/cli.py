@@ -1,0 +1,91 @@
+"""Inference CLI — the tools/inference_long_vita.py equivalent.
+
+Usage:
+    python -m long_vita_tpu.inference.cli <checkpoint_dir> \
+        --prompt "<image>\nDescribe this image." --image path.jpg
+    python -m long_vita_tpu.inference.cli <checkpoint_dir> --serve --port 5001
+
+The checkpoint dir is a released Long-VITA-*_HF directory (config.json +
+safetensors + tokenizer assets); see utils/checkpoint_io.py.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_engine(
+    model_path: str,
+    *,
+    max_seq_len: int = 16384,
+    chunk: int = 2048,
+    max_num_frame: int = 4096,
+    dtype_name: str = "bfloat16",
+):
+    import jax.numpy as jnp
+
+    from long_vita_tpu.data.multimodal import MultimodalTokenizer
+    from long_vita_tpu.inference.engine import InferenceEngine
+    from long_vita_tpu.tokenizer import load_tokenizer
+    from long_vita_tpu.utils.checkpoint_io import load_long_vita_checkpoint
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+    params, cfg = load_long_vita_checkpoint(model_path, dtype=dtype)
+    tokenizer = load_tokenizer(model_path)
+    mm = MultimodalTokenizer(tokenizer, max_num_frame=max_num_frame)
+    return InferenceEngine(
+        params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
+        cache_dtype=dtype,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Long-VITA TPU inference")
+    parser.add_argument("model_path")
+    parser.add_argument("--prompt", default=None)
+    parser.add_argument("--image", action="append", default=[])
+    parser.add_argument("--video", action="append", default=[])
+    parser.add_argument("--max-new-tokens", type=int, default=256)
+    parser.add_argument("--max-seq-len", type=int, default=16384)
+    parser.add_argument("--chunk", type=int, default=2048)
+    parser.add_argument("--max-num-frame", type=int, default=4096)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--top-k", type=int, default=0)
+    parser.add_argument("--top-p", type=float, default=0.0)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--serve", action="store_true")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5001)
+    args = parser.parse_args(argv)
+
+    engine = build_engine(
+        args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
+        max_num_frame=args.max_num_frame, dtype_name=args.dtype,
+    )
+
+    if args.serve:
+        from long_vita_tpu.inference.server import run_server
+
+        run_server(engine, args.host, args.port)
+        return
+
+    if args.prompt is None:
+        parser.error("--prompt required unless --serve")
+
+    from long_vita_tpu.inference.sampler import SamplingParams
+
+    sampling = SamplingParams(
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        greedy=(args.top_k == 0 and args.top_p == 0.0),
+        max_new_tokens=args.max_new_tokens,
+    )
+    result = engine.generate(
+        [{"role": "user", "content": args.prompt}],
+        images=args.image, videos=args.video, sampling=sampling,
+    )
+    print(result.text)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,211 @@
+"""Inference engine: chunked multimodal prefill + KV-cache decode.
+
+Replaces the reference's Megatron inference stack (SURVEY.md C21:
+module.py generate -> generation.py token loop) and the HF generate path
+(C8). Key differences, TPU-first:
+
+  - Real distributed-KV decode design instead of the reference CP server's
+    full-recompute-per-token loop (inference_..._server_cp.sh keeps
+    --use-kv-cache off; we keep the cache).
+  - Static shapes everywhere: prompt lengths bucket to multiples of
+    `chunk` (compile-cache hygiene, SURVEY.md §7 hard parts); the cache
+    length is corrected to the true length after prefill, so padded tail
+    slots are masked and then overwritten one by one during decode.
+  - Chunked prefill: prompts longer than `chunk` stream through the
+    flash kernel against the growing cache (q_offset + kv_valid_len
+    masking), bounding activation memory at 1M tokens.
+  - Logits-masked head: prefill computes logits for exactly one row.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.config import LongVITAConfig
+from long_vita_tpu.data.multimodal import MultimodalTokenizer
+from long_vita_tpu.inference.sampler import SamplingParams, sample
+from long_vita_tpu.models import qwen2
+from long_vita_tpu.models.long_vita import encode_images, merge_image_embeddings
+from long_vita_tpu.models.qwen2 import KVCache
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: list[int]
+    text: str
+    prompt_tokens: int
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        params,
+        cfg: LongVITAConfig,
+        mm_tokenizer: MultimodalTokenizer,
+        *,
+        max_seq_len: int = 16384,
+        chunk: int = 2048,
+        vision_chunk: int = 256,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.mm = mm_tokenizer
+        self.max_seq_len = max_seq_len
+        self.chunk = chunk
+        self.vision_chunk = vision_chunk
+        self.cache_dtype = cache_dtype
+        self.eos_id = cfg.text.eos_token_id
+
+        self._prefill_chunk = jax.jit(self._prefill_chunk_impl)
+        self._decode_step = jax.jit(
+            self._decode_step_impl, static_argnames=("sp",)
+        )
+        self._encode_images = jax.jit(self._encode_images_impl)
+
+    # ---- jitted pieces --------------------------------------------------
+
+    def _encode_images_impl(self, params, images):
+        return encode_images(
+            params, images, self.cfg, chunk=self.vision_chunk
+        )
+
+    def _prefill_chunk_impl(self, params, embeds, start, cache):
+        """Run one prompt chunk through the decoder, extending the cache."""
+        b, s, _ = embeds.shape
+        positions = start + jnp.arange(s)[None, :]
+        hidden, cache = qwen2.qwen2_decoder(
+            params["text"], embeds, positions, self.cfg.text, kv_cache=cache
+        )
+        return hidden[:, -1], cache  # last row hidden (pre-head)
+
+    def _decode_step_impl(self, params, token, pos, cache, rng, sp):
+        embeds = qwen2.embed_tokens(params["text"], token)
+        hidden, cache = qwen2.qwen2_decoder(
+            params["text"], embeds, pos, self.cfg.text, kv_cache=cache
+        )
+        logits = qwen2.lm_head(params["text"], hidden[:, -1])
+        next_token = sample(logits, rng, sp)
+        return next_token, cache
+
+    # ---- public API ------------------------------------------------------
+
+    def prefill(
+        self,
+        input_ids: Sequence[int],
+        images: Optional[np.ndarray] = None,
+        image_indices: Optional[np.ndarray] = None,
+    ) -> tuple[KVCache, jnp.ndarray, int]:
+        """-> (cache at true length, last-row hidden, true prompt length)."""
+        true_len = len(input_ids)
+        if true_len > self.max_seq_len:
+            raise ValueError(
+                f"prompt {true_len} exceeds max_seq_len {self.max_seq_len} "
+                "(reference max_tokens_to_oom semantics)"
+            )
+        padded = _round_up(true_len, self.chunk)
+        ids = np.zeros((1, padded), np.int32)
+        ids[0, :true_len] = input_ids
+        ids = jnp.asarray(ids)
+
+        embeds = qwen2.embed_tokens(self.params["text"], ids)
+        if images is not None and images.shape[0] > 0:
+            feats = self._encode_images(
+                self.params, jnp.asarray(images, self.cache_dtype)
+            )
+            embeds = merge_image_embeddings(
+                embeds, feats, jnp.asarray(image_indices)
+            )
+
+        cache = KVCache.zeros(
+            self.cfg.text, batch=1,
+            max_len=_round_up(self.max_seq_len, self.chunk),
+            dtype=self.cache_dtype,
+        )
+        last_hidden = None
+        for start in range(0, padded, self.chunk):
+            chunk_embeds = jax.lax.dynamic_slice_in_dim(
+                embeds, start, self.chunk, axis=1
+            )
+            last_hidden, cache = self._prefill_chunk(
+                self.params, chunk_embeds, start, cache
+            )
+        # padded tail slots hold garbage kv; shrink the cache to truth so
+        # decode masks them and overwrites them one position at a time.
+        cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+
+        # logits row for the true last prompt token
+        if padded != true_len:
+            # recompute the last row exactly: decode-style pass of the final
+            # real token against the cache shrunk to exclude it
+            cache_minus = KVCache(
+                cache.k, cache.v, jnp.asarray(true_len - 1, jnp.int32)
+            )
+            tok = ids[:, true_len - 1 : true_len]
+            embeds1 = qwen2.embed_tokens(self.params["text"], tok)
+            if images is not None and images.shape[0] > 0:
+                # last prompt token could be a context token in principle;
+                # the chat template always ends with text, so skip merge.
+                pass
+            hidden, cache = qwen2.qwen2_decoder(
+                self.params["text"], embeds1,
+                jnp.full((1, 1), true_len - 1),
+                self.cfg.text, kv_cache=cache_minus,
+            )
+            last_hidden = hidden[:, -1]
+        return cache, last_hidden, true_len
+
+    def generate(
+        self,
+        messages: Optional[list[dict]] = None,
+        *,
+        input_ids: Optional[Sequence[int]] = None,
+        images: Sequence = (),
+        videos: Sequence = (),
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Chat generate. `messages` use <image>/<video> tags in content."""
+        if input_ids is None:
+            input_ids = self.mm.encode_chat(messages)
+        expanded = self.mm.expand(input_ids, images=images, videos=videos)
+
+        cache, last_hidden, true_len = self.prefill(
+            expanded.input_ids, expanded.images, expanded.image_indices
+        )
+        logits = qwen2.lm_head(self.params["text"], last_hidden)
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        token = sample(logits, sub, sampling)[None]  # [1, 1]... [B]->[1,B]?
+
+        token = token.reshape(1, 1)
+        out_tokens = [int(token[0, 0])]
+        pos = true_len
+        while (
+            out_tokens[-1] != self.eos_id
+            and len(out_tokens) < sampling.max_new_tokens
+            and pos < self.max_seq_len - 1
+        ):
+            rng, sub = jax.random.split(rng)
+            token, cache = self._decode_step(
+                self.params, token, jnp.full((1, 1), pos), cache, sub,
+                sampling,
+            )
+            token = token.reshape(1, 1)
+            out_tokens.append(int(token[0, 0]))
+            pos += 1
+
+        if out_tokens and out_tokens[-1] == self.eos_id:
+            out_tokens = out_tokens[:-1]
+        text = self.mm.tokenizer.decode(out_tokens, skip_special_tokens=True)
+        return GenerationResult(out_tokens, text, true_len)

@@ -40,7 +40,7 @@ def project_features(
 ) -> jnp.ndarray:
     """[N_tiles, grid*grid, vit_hidden] -> [N_tiles, tokens, lm_hidden]."""
     n, s, c = patch_features.shape
-    grid = cfg.vision.grid
+    grid = int(round(s ** 0.5))  # actual patch grid (pos-embed interpolates)
     x = patch_features.reshape(n, grid, grid, c)
     x = pixel_shuffle(x, cfg.vision_downsample_ratio)
     x = x.reshape(n, -1, x.shape[-1])  # [N, tokens, 4*vit_hidden]

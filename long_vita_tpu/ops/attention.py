@@ -133,6 +133,7 @@ def dot_product_attention(
             kv_positions=kv_positions,
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
+            kv_valid_len=kv_valid_len[0] if kv_valid_len is not None else None,
         )
     return xla_attention(
         q,
@@ -159,10 +160,8 @@ def _pick_impl(q, k, causal, kv_valid_len) -> str:
     sq, skv = q.shape[1], k.shape[1]
     if not _on_tpu():
         return "xla"
-    if kv_valid_len is not None:
-        return "xla"  # decode against padded cache: bandwidth-bound
-    if sq < 256 or skv < 256:
-        return "xla"  # too small to tile profitably
-    if sq % 128 or skv % 128:
+    if sq < 128 or skv < 128:
+        return "xla"  # decode / tiny: bandwidth-bound, XLA is optimal
+    if sq % 128:
         return "xla"
-    return "flash"
+    return "flash"  # incl. chunked cached prefill (kv_valid_len masking)

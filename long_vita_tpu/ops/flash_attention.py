@@ -694,6 +694,7 @@ def flash_attention(
     kv_offset=0,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
+    kv_valid_len=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
     return_lse: bool = False,
@@ -720,7 +721,12 @@ def flash_attention(
 
     qo = jnp.asarray(q_offset, jnp.int32).reshape(1)
     ko = jnp.asarray(kv_offset, jnp.int32).reshape(1)
-    klen = jnp.asarray([skv], jnp.int32)
+    # kv_valid_len: number of real kv slots (KV-cache chunked prefill);
+    # slots beyond it are masked inside the kernel.
+    if kv_valid_len is None:
+        klen = jnp.asarray([skv], jnp.int32)
+    else:
+        klen = jnp.asarray(kv_valid_len, jnp.int32).reshape(-1)[:1]
 
     qp, kp, vp, segs = _prepare(
         q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv
