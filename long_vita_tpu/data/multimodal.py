@@ -31,6 +31,7 @@ class ExpandedInputs:
     input_ids: list[int]
     images: Optional[np.ndarray]  # [N, 448, 448, 3] f32 or None
     image_indices: Optional[np.ndarray]  # [2, N, T] int64 or None
+    labels: Optional[list[int]] = None  # training targets (IGNORE on inserts)
 
 
 class MultimodalTokenizer:
@@ -73,28 +74,37 @@ class MultimodalTokenizer:
     # -- block builders -------------------------------------------------
 
     def _block(self, ids: list[int], start: int, ctx: int, end: int,
-               indices: list[np.ndarray]) -> None:
+               indices: list[np.ndarray], labels=None) -> None:
         t = self.image_token_length
         ids.append(start)
         seq = np.arange(len(ids), len(ids) + t, dtype=np.int64)
         indices.append(np.stack([np.zeros(t, np.int64), seq]))
         ids.extend([ctx] * t)
         ids.append(end)
+        if labels is not None:
+            from long_vita_tpu.constants import IGNORE_INDEX
 
-    def _expand_image(self, ids: list[int], image, indices, images) -> None:
+            labels.extend([IGNORE_INDEX] * (t + 2))
+
+    def _expand_image(self, ids, image, indices, images, labels=None) -> None:
+        from long_vita_tpu.constants import IGNORE_INDEX
+
         tiles, (grid_w, grid_h) = self.processor.process_dynamic(image)
         images.append(tiles)
-        self._block(ids, self.img_start, self.img_ctx, self.img_end, indices)
+        self._block(ids, self.img_start, self.img_ctx, self.img_end, indices,
+                    labels)
         if len(tiles) > 1:
             for _row in range(0, grid_h, self.processor.patch_size):
                 ids.extend(self.nl_tokens)
+                if labels is not None:
+                    labels.extend([IGNORE_INDEX] * len(self.nl_tokens))
                 for _col in range(0, grid_w, self.processor.patch_size):
                     self._block(
                         ids, self.patch_start, self.patch_ctx,
-                        self.patch_end, indices,
+                        self.patch_end, indices, labels,
                     )
 
-    def _expand_video(self, ids: list[int], video, indices, images) -> None:
+    def _expand_video(self, ids, video, indices, images, labels=None) -> None:
         if isinstance(video, str):
             frames = self.processor.process_video(
                 video, self.max_num_frame, self.max_fps
@@ -103,7 +113,8 @@ class MultimodalTokenizer:
             frames = self.processor.process_images(video)
         images.append(frames)
         for _ in range(len(frames)):
-            self._block(ids, self.vid_start, self.vid_ctx, self.vid_end, indices)
+            self._block(ids, self.vid_start, self.vid_ctx, self.vid_end,
+                        indices, labels)
 
     # -- public API ------------------------------------------------------
 
@@ -112,48 +123,50 @@ class MultimodalTokenizer:
         input_ids: Sequence[int],
         images: Sequence = (),
         videos: Sequence = (),
+        labels: Optional[Sequence[int]] = None,
     ) -> ExpandedInputs:
         """Expand tags in a tokenized prompt.
 
         images: list of paths / PIL images / arrays, one per <image> tag.
         videos: list of video paths (or frame lists), one per <video> tag.
+        labels: optional training targets aligned with input_ids; inserted
+        multimodal tokens get IGNORE_INDEX (training path, reference
+        dataset_qwen2.py:540-565).
         """
         ids = list(input_ids)
+        labs = list(labels) if labels is not None else None
         tile_stacks: list[np.ndarray] = []
         indices: list[np.ndarray] = []
 
-        # pass 1: images
-        img_positions = [i for i, x in enumerate(ids) if x == self.img_tag]
-        assert len(img_positions) == len(images), (img_positions, len(images))
-        if img_positions:
+        def _pass(ids, labs, tag, expander, media_list):
+            positions = [i for i, x in enumerate(ids) if x == tag]
+            assert len(positions) == len(media_list), (positions, len(media_list))
+            if not positions:
+                return ids, labs
             new_ids: list[int] = []
+            new_labs = [] if labs is not None else None
             cursor = 0
-            for tag_pos, image in zip(img_positions, images):
+            for tag_pos, media in zip(positions, media_list):
                 new_ids.extend(ids[cursor:tag_pos])
-                self._expand_image(new_ids, image, indices, tile_stacks)
+                if new_labs is not None:
+                    new_labs.extend(labs[cursor:tag_pos])
+                expander(new_ids, media, indices, tile_stacks, new_labs)
                 cursor = tag_pos + 1
             new_ids.extend(ids[cursor:])
-            ids = new_ids
+            if new_labs is not None:
+                new_labs.extend(labs[cursor:])
+            return new_ids, new_labs
 
-        # pass 2: videos
-        vid_positions = [i for i, x in enumerate(ids) if x == self.vid_tag]
-        assert len(vid_positions) == len(videos), (vid_positions, len(videos))
-        if vid_positions:
-            new_ids = []
-            cursor = 0
-            for tag_pos, video in zip(vid_positions, videos):
-                new_ids.extend(ids[cursor:tag_pos])
-                self._expand_video(new_ids, video, indices, tile_stacks)
-                cursor = tag_pos + 1
-            new_ids.extend(ids[cursor:])
-            ids = new_ids
+        ids, labs = _pass(ids, labs, self.img_tag, self._expand_image, list(images))
+        ids, labs = _pass(ids, labs, self.vid_tag, self._expand_video, list(videos))
 
         if not tile_stacks:
-            return ExpandedInputs(ids, None, None)
+            return ExpandedInputs(ids, None, None, labs)
         return ExpandedInputs(
             ids,
             np.concatenate(tile_stacks, axis=0),
             np.stack(indices, axis=1),  # [2, N_tiles, T]
+            labs,
         )
 
     def encode_chat(

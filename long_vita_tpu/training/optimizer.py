@@ -116,11 +116,13 @@ def make_optimizer(
     ]
     if cfg.weight_decay:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
-    chain.append(_scale_by_tree(lr_scale_tree(params, cfg, num_vit_layers)))
-    chain.append(optax.scale_by_learning_rate(schedule))
-    tx = optax.chain(*chain)
-
+    # freezing folds into the per-leaf scale (scale 0 = frozen): keeps one
+    # uniform pytree structure through the whole chain (sharding-friendly)
     mask = trainable_mask(params, cfg)
-    if not jax.tree.all(mask):
-        tx = optax.masked(tx, mask)
-    return tx
+    scales = lr_scale_tree(params, cfg, num_vit_layers)
+    scales = jax.tree.map(
+        lambda s, m: s if m else (s * 0.0), scales, mask
+    )
+    chain.append(_scale_by_tree(scales))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)

