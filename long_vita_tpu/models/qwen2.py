@@ -45,6 +45,7 @@ class ParallelConfig:
     axis_dp: str = "dp"
     axis_cp: str = "cp"
     axis_tp: str = "tp"
+    cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (head a2a)
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -86,39 +87,57 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _ring_attention_sharded(
+def _cp_attention_sharded(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     segment_ids: Optional[jnp.ndarray],
     parallel: "ParallelConfig",
 ):
-    """Zigzag ring attention over the cp axis (shard_map + ppermute)."""
+    """Context-parallel attention over the cp axis via shard_map.
+
+    cp_algo "ring": zigzag ring attention (ppermute KV rotation).
+    cp_algo "ulysses": head-scatter all-to-all, contiguous seq shards.
+    """
     from jax.sharding import PartitionSpec as P
 
     from long_vita_tpu.ops.ring_attention import ring_attention
+    from long_vita_tpu.ops.ulysses import ulysses_attention
 
     spec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
-    if segment_ids is None:
-        fn = jax.shard_map(
-            lambda q_, k_, v_: ring_attention(
-                q_, k_, v_, parallel.axis_cp, False, None, None
-            ),
-            mesh=parallel.mesh,
-            in_specs=(spec, spec, spec),
-            out_specs=spec,
-        )
-        return fn(q, k, v)
     sspec = P(parallel.axis_dp, parallel.axis_cp)
-    fn = jax.shard_map(
-        lambda q_, k_, v_, s_: ring_attention(
+
+    if parallel.cp_algo == "ulysses":
+        if segment_ids is None:
+            body = lambda q_, k_, v_: ulysses_attention(
+                q_, k_, v_, parallel.axis_cp
+            )
+            in_specs = (spec, spec, spec)
+            args = (q, k, v)
+        else:
+            body = lambda q_, k_, v_, s_: ulysses_attention(
+                q_, k_, v_, parallel.axis_cp,
+                q_segment_ids=s_, kv_segment_ids=s_,
+            )
+            in_specs = (spec, spec, spec, sspec)
+            args = (q, k, v, segment_ids)
+    elif segment_ids is None:
+        body = lambda q_, k_, v_: ring_attention(
+            q_, k_, v_, parallel.axis_cp, False, None, None
+        )
+        in_specs = (spec, spec, spec)
+        args = (q, k, v)
+    else:
+        body = lambda q_, k_, v_, s_: ring_attention(
             q_, k_, v_, parallel.axis_cp, True, s_, s_
-        ),
-        mesh=parallel.mesh,
-        in_specs=(spec, spec, spec, sspec),
-        out_specs=spec,
+        )
+        in_specs = (spec, spec, spec, sspec)
+        args = (q, k, v, segment_ids)
+
+    fn = jax.shard_map(
+        body, mesh=parallel.mesh, in_specs=in_specs, out_specs=spec
     )
-    return fn(q, k, v, segment_ids)
+    return fn(*args)
 
 
 def _attention_block(
@@ -159,7 +178,7 @@ def _attention_block(
             impl=attn_impl,
         )
     elif parallel is not None:
-        out = _ring_attention_sharded(q, k, v, segment_ids, parallel)
+        out = _cp_attention_sharded(q, k, v, segment_ids, parallel)
     else:
         out = dot_product_attention(
             q,

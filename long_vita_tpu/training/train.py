@@ -57,6 +57,7 @@ def build_from_recipe(recipe: dict):
         remat=run.get("remat", True),
         vision_chunk=data_cfg.get("vision_chunk", 256),
         seed=run.get("seed", 42),
+        cp_algo=run.get("cp_algo", "ring"),
     )
 
     from long_vita_tpu.tokenizer import load_tokenizer

@@ -79,12 +79,16 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     *,
     use_ring: bool = False,
+    cp_algo: str = "ring",
     remat: bool = True,
     vision_chunk: int = 0,
 ):
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
-    parallel = ParallelConfig(mesh) if (mesh is not None and use_ring) else None
+    parallel = (
+        ParallelConfig(mesh, cp_algo=cp_algo)
+        if (mesh is not None and use_ring) else None
+    )
 
     def train_step(state: TrainState, batch):
         if mesh is not None:

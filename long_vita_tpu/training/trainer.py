@@ -65,6 +65,7 @@ class TrainerConfig:
     remat: bool = True
     vision_chunk: int = 256
     seed: int = 42
+    cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (contiguous shards)
 
 
 def batch_iterator(
@@ -72,8 +73,12 @@ def batch_iterator(
     batch_size: int,
     logit_budget: int,
     cp: int,
+    cp_algo: str = "ring",
 ) -> Iterator[dict]:
-    """Group packs into batches; zigzag-permute for context parallelism."""
+    """Group packs into batches; zigzag-permute for ring context
+    parallelism (ulysses keeps contiguous shards)."""
+    if cp_algo == "ulysses":
+        cp = 1  # no permutation needed
     buf = []
     inv = None
     for pack in packs:
@@ -116,6 +121,7 @@ class Trainer:
         self.step_fn = make_train_step(
             cfg, self.tx, self.mesh,
             use_ring=tcfg.mesh.cp > 1,
+            cp_algo=tcfg.cp_algo,
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
         )
@@ -175,5 +181,6 @@ def make_data_pipeline(
         cross_dataset_joint=cross_dataset_joint,
     )
     return batch_iterator(
-        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp
+        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
+        tcfg.cp_algo,
     )
