@@ -76,7 +76,21 @@ class ImageProcessor:
         return out
 
     def process_images(self, images: Iterable[ImageLike]) -> np.ndarray:
-        """-> [N, 448, 448, 3] float32 normalized (square-pad + resize)."""
+        """-> [N, 448, 448, 3] float32 normalized (square-pad + resize).
+
+        Uniform uint8 ndarray batches (decoded video frames) take the native
+        C++ feedworker (long_vita_tpu/data/native.py) — thread-pooled
+        pad+resize+normalize without the per-frame Python/GIL overhead.
+        """
+        images = list(images) if not isinstance(images, np.ndarray) else images
+        batch = self._as_uniform_batch(images)
+        if batch is not None:
+            from long_vita_tpu.data import native
+
+            if native.available():
+                return native.preprocess_frames(
+                    batch, self.image_size, self.mean, self.std
+                )
         out = []
         for x in images:
             img = self._expand2square(_to_pil(x))
@@ -88,6 +102,21 @@ class ImageProcessor:
         return np.stack(out) if out else np.zeros(
             (0, self.image_size, self.image_size, 3), np.float32
         )
+
+    @staticmethod
+    def _as_uniform_batch(images) -> "np.ndarray | None":
+        """[N,H,W,3] uint8 batch if all inputs are same-shape uint8 arrays."""
+        if isinstance(images, np.ndarray):
+            if images.ndim == 4 and images.dtype == np.uint8:
+                return images
+            return None
+        if not images or not all(
+            isinstance(x, np.ndarray) and x.dtype == np.uint8 and x.ndim == 3
+            and x.shape == images[0].shape and x.shape[-1] == 3
+            for x in images
+        ):
+            return None
+        return np.stack(images)
 
     # -- dynamic tiling -----------------------------------------------------
 
@@ -162,9 +191,8 @@ class ImageProcessor:
                 ok, frame = cap.read()
                 if not ok:
                     break
-                frames.append(
-                    Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-                )
+                # raw uint8 RGB -> native batch fast path in process_images
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
             return frames
         finally:
             cap.release()
