@@ -1,0 +1,137 @@
+"""Long-context single-chip benchmarks (run on a real TPU).
+
+Measures, on an L-layer Qwen2.5-14B-geometry slice (per-layer cost is
+homogeneous, so times extrapolate by 48/L):
+  1. chunked prefill through the KV cache at a long context (TTFT path)
+  2. steady-state decode tokens/sec against a long cached context
+
+Usage: python benchmarks/long_context.py [--seq 131072] [--layers 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seq", type=int, default=131072)
+    parser.add_argument("--layers", type=int, default=4)
+    parser.add_argument("--chunk", type=int, default=8192)
+    parser.add_argument("--decode-steps", type=int, default=16)
+    args = parser.parse_args()
+
+    from long_vita_tpu.config import TextConfig
+    from long_vita_tpu.models import qwen2
+    from long_vita_tpu.models.qwen2 import KVCache
+
+    cfg = TextConfig(
+        vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+        num_hidden_layers=args.layers, num_attention_heads=40,
+        num_key_value_heads=8, rope_theta=1e6,
+    )
+    log(f"{args.layers}-layer 14B slice | seq {args.seq} | chunk {args.chunk}"
+        f" | device {jax.devices()[0].device_kind}")
+
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def prefill_all(params, embeds, cache):
+        """All chunks in one compiled program (scan over chunks)."""
+        n_chunks = embeds.shape[1] // args.chunk
+
+        def body(cache, chunk_idx):
+            chunk = jax.lax.dynamic_slice_in_dim(
+                embeds, chunk_idx * args.chunk, args.chunk, axis=1
+            )
+            positions = chunk_idx * args.chunk + jnp.arange(args.chunk)[None]
+            hidden, cache = qwen2.qwen2_decoder(
+                params, chunk, positions, cfg, kv_cache=cache
+            )
+            return cache, jnp.sum(hidden.astype(jnp.float32))
+
+        cache, sums = jax.lax.scan(body, cache, jnp.arange(n_chunks))
+        return cache, jnp.sum(sums)
+
+    @jax.jit
+    def decode_n(params, token_embed, start_pos, cache, n_sum):
+        def body(carry, i):
+            embed, cache = carry
+            hidden, cache = qwen2.qwen2_decoder(
+                params, embed, (start_pos + i)[None, None], cfg,
+                kv_cache=cache,
+            )
+            return (hidden[:, -1:].astype(embed.dtype), cache), None
+
+        (last, cache), _ = jax.lax.scan(
+            body, (token_embed, cache), jnp.arange(args.decode_steps)
+        )
+        return jnp.sum(last.astype(jnp.float32)) + 0 * n_sum
+
+    embeds = jnp.asarray(
+        rng.standard_normal((1, args.seq, cfg.hidden_size)) * 0.02,
+        jnp.bfloat16,
+    )
+    cache = KVCache.zeros(cfg, 1, args.seq + 256, jnp.bfloat16)
+
+    t0 = time.time()
+    cache2, s = prefill_all(params, embeds, cache)
+    _ = jax.device_get(s)
+    t_compile = time.time() - t0
+    log(f"prefill compile+first: {t_compile:.1f}s")
+
+    cache = KVCache.zeros(cfg, 1, args.seq + 256, jnp.bfloat16)
+    t0 = time.time()
+    cache2, s = prefill_all(params, embeds, cache)
+    _ = jax.device_get(s)
+    dt_prefill = time.time() - t0
+
+    h, hq, hkv, d, i = (cfg.hidden_size, cfg.num_attention_heads,
+                        cfg.num_key_value_heads, cfg.head_dim,
+                        cfg.intermediate_size)
+    per_tok = 2 * h * (hq * d + 2 * hkv * d) + 2 * hq * d * h + 6 * h * i
+    attn = 4 * args.seq * args.seq * hq * d * 0.5
+    flops = args.layers * (per_tok * args.seq + attn)
+    tflops = flops / dt_prefill / 1e12
+    full_ttft = dt_prefill * 48 / args.layers
+    log(f"prefill {args.seq}: {dt_prefill:.2f}s slice | {tflops:.1f} TFLOP/s"
+        f" | extrapolated 48-layer TTFT {full_ttft:.1f}s/chip")
+
+    # decode
+    tok_embed = jnp.asarray(
+        rng.standard_normal((1, 1, cfg.hidden_size)) * 0.02, jnp.bfloat16
+    )
+    start = jnp.asarray(args.seq, jnp.int32)
+    _ = jax.device_get(decode_n(params, tok_embed, start, cache2, 0.0))
+    t0 = time.time()
+    _ = jax.device_get(decode_n(params, tok_embed, start, cache2, 1.0))
+    dt_decode = (time.time() - t0) / args.decode_steps
+    full_decode = dt_decode * 48 / args.layers
+    log(f"decode @ {args.seq} ctx: {dt_decode*1000:.2f} ms/tok slice | "
+        f"extrapolated 48-layer {1.0/full_decode:.1f} tok/s/chip")
+
+    print(json.dumps({
+        "seq": args.seq,
+        "layers": args.layers,
+        "prefill_s_slice": round(dt_prefill, 3),
+        "prefill_tflops": round(tflops, 1),
+        "ttft_48layer_s": round(full_ttft, 2),
+        "decode_ms_per_tok_slice": round(dt_decode * 1000, 3),
+        "decode_tok_s_48layer": round(1.0 / full_decode, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

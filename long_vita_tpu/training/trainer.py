@@ -66,6 +66,8 @@ class TrainerConfig:
     vision_chunk: int = 256
     seed: int = 42
     cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (contiguous shards)
+    resume: bool = True  # auto-resume from save_dir's latest checkpoint
+    straggler_threshold: float = 2.0  # warn when a step takes > thr x median
 
 
 def batch_iterator(
@@ -118,6 +120,19 @@ class Trainer:
             num_vit_layers=(cfg.vision.num_hidden_layers if cfg.vision else 0),
         )
         self.state = init_train_state(params, self.tx, self.mesh)
+        self.start_step = 0
+        if tcfg.resume and tcfg.save_dir:
+            # recovery = relaunch + resume (reference --save-interval flow)
+            from long_vita_tpu.training.checkpoint import (
+                latest_step,
+                load_checkpoint,
+            )
+
+            step = latest_step(tcfg.save_dir)
+            if step is not None:
+                logger.info("resuming from %s step %d", tcfg.save_dir, step)
+                self.state = load_checkpoint(tcfg.save_dir, self.state)
+                self.start_step = step
         self.step_fn = make_train_step(
             cfg, self.tx, self.mesh,
             use_ring=tcfg.mesh.cp > 1,
@@ -129,8 +144,9 @@ class Trainer:
     def train(self, batches: Iterator[dict]) -> dict:
         tcfg = self.tcfg
         history = []
+        step_times: list[float] = []
         t_last = time.time()
-        for step, batch in enumerate(batches):
+        for step, batch in enumerate(batches, start=self.start_step):
             if step >= tcfg.steps:
                 break
             batch = {
@@ -141,9 +157,19 @@ class Trainer:
             loss = float(metrics["loss"])
             if not np.isfinite(loss):  # reference NaN tripwire
                 raise FloatingPointError(f"non-finite loss at step {step}")
+            dt = time.time() - t_last
+            t_last = time.time()
+            # straggler tripwire (reference wraps batch-gen/fwd with
+            # Megatron's StragglerDetector; here: step-time anomaly log)
+            step_times.append(dt)
+            if len(step_times) > 4:
+                median = sorted(step_times[-64:])[len(step_times[-64:]) // 2]
+                if dt > tcfg.straggler_threshold * median:
+                    logger.warning(
+                        "straggler step %d: %.2fs (median %.2fs)",
+                        step, dt, median,
+                    )
             if step % tcfg.log_interval == 0:
-                dt = time.time() - t_last
-                t_last = time.time()
                 tokens = float(metrics["tokens"])
                 logger.info(
                     "step %d | loss %.4f | grad_norm %.3f | %.1f supervised "
