@@ -45,7 +45,8 @@ class ParallelConfig:
     axis_dp: str = "dp"
     axis_cp: str = "cp"
     axis_tp: str = "tp"
-    cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (head a2a)
+    cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (head a2a) | "hybrid"
+    cp_inner: int = 1  # hybrid: ulysses lanes per ring group
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -107,7 +108,23 @@ def _cp_attention_sharded(
     spec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
     sspec = P(parallel.axis_dp, parallel.axis_cp)
 
-    if parallel.cp_algo == "ulysses":
+    if parallel.cp_algo == "hybrid":
+        from long_vita_tpu.ops.hybrid_cp import hybrid_attention
+
+        if segment_ids is None:
+            body = lambda q_, k_, v_: hybrid_attention(
+                q_, k_, v_, parallel.axis_cp, parallel.cp_inner
+            )
+            in_specs = (spec, spec, spec)
+            args = (q, k, v)
+        else:
+            body = lambda q_, k_, v_, s_: hybrid_attention(
+                q_, k_, v_, parallel.axis_cp, parallel.cp_inner,
+                q_segment_ids=s_, kv_segment_ids=s_,
+            )
+            in_specs = (spec, spec, spec, sspec)
+            args = (q, k, v, segment_ids)
+    elif parallel.cp_algo == "ulysses":
         if segment_ids is None:
             body = lambda q_, k_, v_: ulysses_attention(
                 q_, k_, v_, parallel.axis_cp
@@ -123,13 +140,13 @@ def _cp_attention_sharded(
             args = (q, k, v, segment_ids)
     elif segment_ids is None:
         body = lambda q_, k_, v_: ring_attention(
-            q_, k_, v_, parallel.axis_cp, False, None, None
+            q_, k_, v_, parallel.axis_cp, False, 1, None, None
         )
         in_specs = (spec, spec, spec)
         args = (q, k, v)
     else:
         body = lambda q_, k_, v_, s_: ring_attention(
-            q_, k_, v_, parallel.axis_cp, True, s_, s_
+            q_, k_, v_, parallel.axis_cp, True, 1, s_, s_
         )
         in_specs = (spec, spec, spec, sspec)
         args = (q, k, v, segment_ids)

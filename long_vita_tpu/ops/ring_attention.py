@@ -50,9 +50,21 @@ def _split2(x, axis=1):
     return lo, hi
 
 
-def _rotate(x, axis_name: str, cp: int):
-    """Send to rank+1 (ring)."""
-    perm = [(i, (i + 1) % cp) for i in range(cp)]
+def _rotate(x, axis_name: str, cp: int, inner: int = 1):
+    """Ring-rotate over the outer groups of the axis.
+
+    inner == 1: plain ring over all cp ranks. inner > 1 (hybrid CP): the
+    axis is (groups x inner lanes); each lane rotates within its own ring
+    of groups: rank r -> ((r//inner + 1) % (cp//inner)) * inner + r%inner.
+    """
+    if inner == 1:
+        perm = [(i, (i + 1) % cp) for i in range(cp)]
+    else:
+        groups = cp // inner
+        perm = [
+            (r, ((r // inner + 1) % groups) * inner + r % inner)
+            for r in range(cp)
+        ]
     return jax.lax.ppermute(x, axis_name, perm)
 
 
@@ -69,13 +81,14 @@ def _pvary(x, ref):
     return jax.lax.pvary(x, want) if want else x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     axis_name: str = "cp",
     have_segs: bool = False,
+    inner_size: int = 1,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
 ):
@@ -85,14 +98,15 @@ def ring_attention(
     (r, 2cp-1-r). segment ids: local [B, 2C]. Returns local [B, 2C, Hq, D].
     """
     o, _ = _ring_fwd(
-        q, k, v, axis_name, have_segs, q_segment_ids, kv_segment_ids
+        q, k, v, axis_name, have_segs, inner_size,
+        q_segment_ids, kv_segment_ids,
     )
     return o
 
 
-def _ring_fwd(q, k, v, axis_name, have_segs, q_seg, kv_seg):
-    cp = _axis_size(axis_name)
-    r = jax.lax.axis_index(axis_name)
+def _ring_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg):
+    cp = _axis_size(axis_name) // inner_size  # number of ring groups
+    r = jax.lax.axis_index(axis_name) // inner_size  # ring-group index
     b, two_c, hq, d = q.shape
     c = two_c // 2
 
@@ -178,7 +192,7 @@ def _ring_fwd(q, k, v, axis_name, have_segs, q_seg, kv_seg):
 
         # Rotate unconditionally (cp rotations == identity): keeps the
         # collective out of lax.cond, which XLA requires to be uniform.
-        kv = _rotate(kv, axis_name, cp)
+        kv = _rotate(kv, axis_name, cp * inner_size, inner_size)
         return (o_a, lse_a, o_b, lse_b, kv), None
 
     (o_a, lse_a, o_b, lse_b, _), _ = jax.lax.scan(
@@ -190,15 +204,15 @@ def _ring_fwd(q, k, v, axis_name, have_segs, q_seg, kv_seg):
     return o, lse
 
 
-def _ring_vjp_fwd(q, k, v, axis_name, have_segs, q_seg, kv_seg):
-    o, lse = _ring_fwd(q, k, v, axis_name, have_segs, q_seg, kv_seg)
+def _ring_vjp_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg):
+    o, lse = _ring_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg)
     return o, (q, k, v, o, lse, q_seg, kv_seg)
 
 
-def _ring_vjp_bwd(axis_name, have_segs, res, g):
+def _ring_vjp_bwd(axis_name, have_segs, inner_size, res, g):
     q, k, v, o, lse, q_seg, kv_seg = res
-    cp = _axis_size(axis_name)
-    r = jax.lax.axis_index(axis_name)
+    cp = _axis_size(axis_name) // inner_size
+    r = jax.lax.axis_index(axis_name) // inner_size
     b, two_c, hq, d = q.shape
     c = two_c // 2
 
@@ -309,7 +323,7 @@ def _ring_vjp_bwd(axis_name, have_segs, res, g):
         kv = (kc, vc, sc, dkc + dk_new, dvc + dv_new)
         # Rotate every step (cp total): after the last rotation each dkv
         # accumulator lands back on the rank that owns its kv chunks.
-        kv = _rotate(kv, axis_name, cp)
+        kv = _rotate(kv, axis_name, cp * inner_size, inner_size)
         return (dq, kv), None
 
     (dq, kv), _ = jax.lax.scan(step_fn, (dq, kv), jnp.arange(cp))

@@ -80,13 +80,14 @@ def make_train_step(
     *,
     use_ring: bool = False,
     cp_algo: str = "ring",
+    cp_inner: int = 1,
     remat: bool = True,
     vision_chunk: int = 0,
 ):
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
     parallel = (
-        ParallelConfig(mesh, cp_algo=cp_algo)
+        ParallelConfig(mesh, cp_algo=cp_algo, cp_inner=cp_inner)
         if (mesh is not None and use_ring) else None
     )
 

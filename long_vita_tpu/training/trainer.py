@@ -65,7 +65,8 @@ class TrainerConfig:
     remat: bool = True
     vision_chunk: int = 256
     seed: int = 42
-    cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (contiguous shards)
+    cp_algo: str = "ring"  # "ring" | "ulysses" | "hybrid"
+    cp_inner: int = 1  # hybrid: ulysses lanes per ring group
     resume: bool = True  # auto-resume from save_dir's latest checkpoint
     straggler_threshold: float = 2.0  # warn when a step takes > thr x median
 
@@ -76,11 +77,15 @@ def batch_iterator(
     logit_budget: int,
     cp: int,
     cp_algo: str = "ring",
+    cp_inner: int = 1,
 ) -> Iterator[dict]:
     """Group packs into batches; zigzag-permute for ring context
-    parallelism (ulysses keeps contiguous shards)."""
+    parallelism. Ulysses keeps contiguous shards; hybrid zigzags over the
+    ring GROUPS (cp // cp_inner)."""
     if cp_algo == "ulysses":
         cp = 1  # no permutation needed
+    elif cp_algo == "hybrid":
+        cp = cp // cp_inner
     buf = []
     inv = None
     for pack in packs:
@@ -137,6 +142,7 @@ class Trainer:
             cfg, self.tx, self.mesh,
             use_ring=tcfg.mesh.cp > 1,
             cp_algo=tcfg.cp_algo,
+            cp_inner=tcfg.cp_inner,
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
         )
@@ -208,5 +214,5 @@ def make_data_pipeline(
     )
     return batch_iterator(
         iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
-        tcfg.cp_algo,
+        tcfg.cp_algo, tcfg.cp_inner,
     )

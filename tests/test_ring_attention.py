@@ -28,13 +28,13 @@ def _ring(q, k, v, mesh, seg=None):
     spec = P(None, "cp", None, None)
     if seg is None:
         fn = shard_map(
-            lambda q, k, v: ring_attention(q, k, v, "cp", False, None, None),
+            lambda q, k, v: ring_attention(q, k, v, "cp", False, 1, None, None),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         )
         return fn(q, k, v)
     sspec = P(None, "cp")
     fn = shard_map(
-        lambda q, k, v, s: ring_attention(q, k, v, "cp", True, s, s),
+        lambda q, k, v, s: ring_attention(q, k, v, "cp", True, 1, s, s),
         mesh=mesh, in_specs=(spec, spec, spec, sspec), out_specs=spec,
     )
     return fn(q, k, v, seg)
