@@ -21,7 +21,9 @@ def build_engine(
     chunk: int = 2048,
     max_num_frame: int = 4096,
     dtype_name: str = "bfloat16",
+    tp: int = 1,
 ):
+    import jax
     import jax.numpy as jnp
 
     from long_vita_tpu.data.multimodal import MultimodalTokenizer
@@ -33,9 +35,14 @@ def build_engine(
     params, cfg = load_long_vita_checkpoint(model_path, dtype=dtype)
     tokenizer = load_tokenizer(model_path)
     mm = MultimodalTokenizer(tokenizer, max_num_frame=max_num_frame)
+    mesh = None
+    if tp > 1:
+        from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(tp=tp), devices=jax.devices()[:tp])
     return InferenceEngine(
         params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
-        cache_dtype=dtype,
+        cache_dtype=dtype, mesh=mesh,
     )
 
 
@@ -54,6 +61,8 @@ def main(argv=None):
     parser.add_argument("--top-p", type=float, default=0.0)
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel ways (multi-chip serving)")
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5001)
@@ -61,7 +70,7 @@ def main(argv=None):
 
     engine = build_engine(
         args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
-        max_num_frame=args.max_num_frame, dtype_name=args.dtype,
+        max_num_frame=args.max_num_frame, dtype_name=args.dtype, tp=args.tp,
     )
 
     if args.serve:

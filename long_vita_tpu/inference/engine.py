@@ -57,8 +57,12 @@ class InferenceEngine:
         chunk: int = 2048,
         vision_chunk: int = 256,
         cache_dtype=jnp.bfloat16,
+        mesh=None,
     ):
-        self.params = params
+        """mesh: optional jax Mesh for multi-chip serving — params shard by
+        the training rules (TP on heads/MLP/vocab), the KV cache shards its
+        head dim over tp; GSPMD inserts the TP collectives (the reference
+        needs a whole Megatron inference stack for this, SURVEY.md C21)."""
         self.cfg = cfg
         self.mm = mm_tokenizer
         self.max_seq_len = max_seq_len
@@ -66,12 +70,37 @@ class InferenceEngine:
         self.vision_chunk = vision_chunk
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.text.eos_token_id
+        self.mesh = mesh
+        if mesh is not None:
+            from long_vita_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
 
         self._prefill_chunk = jax.jit(self._prefill_chunk_impl)
         self._decode_step = jax.jit(
             self._decode_step_impl, static_argnames=("sp",)
         )
         self._encode_images = jax.jit(self._encode_images_impl)
+
+    def _make_cache(self, batch: int, max_len: int) -> KVCache:
+        cache = KVCache.zeros(
+            self.cfg.text, batch=batch, max_len=max_len, dtype=self.cache_dtype
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from long_vita_tpu.parallel.mesh import AXIS_TP
+
+            spec = NamedSharding(
+                self.mesh, P(None, None, None, AXIS_TP, None)
+            )
+            cache = KVCache(
+                jax.device_put(cache.k, spec),
+                jax.device_put(cache.v, spec),
+                cache.length,
+            )
+        return cache
 
     # ---- jitted pieces --------------------------------------------------
 
@@ -127,10 +156,8 @@ class InferenceEngine:
                 embeds, feats, jnp.asarray(image_indices)
             )
 
-        cache = KVCache.zeros(
-            self.cfg.text, batch=1,
-            max_len=_round_up(self.max_seq_len, self.chunk),
-            dtype=self.cache_dtype,
+        cache = self._make_cache(
+            batch=1, max_len=_round_up(self.max_seq_len, self.chunk)
         )
         last_hidden = None
         for start in range(0, padded, self.chunk):

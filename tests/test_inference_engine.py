@@ -35,7 +35,7 @@ def engine():
         image_token_length=4,
     )
 
-    cfg = tiny_test_config(vocab_size=len(tok) + 64)
+    cfg = tiny_test_config(vocab_size=-(-(len(tok) + 64) // 128) * 128)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     return InferenceEngine(
         params, cfg, mm, max_seq_len=512, chunk=64, cache_dtype=jnp.float32
@@ -100,3 +100,22 @@ def test_sampler_topk_topp():
     # top_p tiny -> only argmax survives
     p = sample(logits, rng, SamplingParams(greedy=False, top_p=0.01))
     assert int(p[0]) == 2
+
+
+def test_sharded_engine_matches_single_device(engine):
+    """TP-sharded engine (8-dev mesh) must reproduce single-device greedy."""
+    import numpy as np
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(
+        MeshConfig(dp=1, cp=1, tp=2), devices=jax.devices()[:2]
+    )  # kv heads = 2 in tiny cfg
+    sharded = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=64,
+        cache_dtype=jnp.float32, mesh=mesh,
+    )
+    msgs = [{"role": "user", "content": "compare shards"}]
+    a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
+    b = sharded.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
+    assert a.token_ids == b.token_ids

@@ -36,7 +36,7 @@ def server_url():
         tok, image_processor=ImageProcessor(image_size=56),
         image_token_length=4,
     )
-    cfg = tiny_test_config(vocab_size=len(tok) + 64)
+    cfg = tiny_test_config(vocab_size=-(-(len(tok) + 64) // 128) * 128)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     engine = InferenceEngine(
         params, cfg, mm, max_seq_len=512, chunk=64, cache_dtype=jnp.float32
