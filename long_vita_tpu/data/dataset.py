@@ -308,7 +308,15 @@ def collate_packs(packs: list[Pack], logit_budget: int) -> dict:
     same_seg = segments[:, :-1] == segments[:, 1:]
     shifted[:, :-1] = np.where(same_seg, shifted[:, :-1], IGNORE_INDEX)
 
-    logit_positions, packed_labels = make_logit_positions(shifted, logit_budget)
+    logit_positions, packed_labels, dropped = make_logit_positions(
+        shifted, logit_budget
+    )
+    if dropped:
+        logger.warning(
+            "logit budget %d dropped %d supervised rows — raise "
+            "data.logit_budget (dense-SFT stages want budget = seq_len)",
+            logit_budget, dropped,
+        )
 
     images = [p.images for p in packs if p.images is not None]
     indices = []

@@ -64,6 +64,8 @@ def main(argv=None):
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel ways (multi-chip serving)")
     parser.add_argument("--serve", action="store_true")
+    parser.add_argument("--chat", action="store_true",
+                        help="interactive multi-turn chat REPL")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5001)
     args = parser.parse_args(argv)
@@ -79,8 +81,39 @@ def main(argv=None):
         run_server(engine, args.host, args.port)
         return
 
+    if args.chat:
+        from long_vita_tpu.inference.sampler import SamplingParams
+
+        sampling = SamplingParams(
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            greedy=(args.top_k == 0 and args.top_p == 0.0),
+            max_new_tokens=args.max_new_tokens,
+        )
+        # multi-turn chat (reference tasks/inference/infer_base.py chat task);
+        # media attach once via --image/--video, referenced by tags in any turn
+        history: list[dict] = []
+        images, videos = list(args.image), list(args.video)
+        print("chat mode — empty line or 'exit' to quit, 'clear' to reset")
+        while True:
+            try:
+                user = input("user> ").strip()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not user or user == "exit":
+                break
+            if user == "clear":
+                history = []
+                continue
+            history.append({"role": "user", "content": user})
+            result = engine.generate(
+                history, images=images, videos=videos, sampling=sampling
+            )
+            print(f"assistant> {result.text}")
+            history.append({"role": "assistant", "content": result.text})
+        return
+
     if args.prompt is None:
-        parser.error("--prompt required unless --serve")
+        parser.error("--prompt required unless --serve/--chat")
 
     from long_vita_tpu.inference.sampler import SamplingParams
 

@@ -39,21 +39,28 @@ def cross_entropy(
 
 def make_logit_positions(
     labels: jnp.ndarray, budget: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Host-side helper: pack supervised positions into a [B, budget] tensor.
 
-    Returns (positions [B, budget], packed_labels [B, budget]); excess
-    positions beyond the budget are dropped (callers size the budget from the
-    packing recipe), unused slots carry IGNORE_INDEX.
+    Returns (positions [B, budget], packed_labels [B, budget], dropped);
+    positions beyond the budget are dropped and COUNTED — callers must size
+    the budget from the packing recipe (long-context stages supervise a
+    sparse fraction of the sequence, which is the whole point of the
+    logits-masked head; dense-SFT stages should set budget = seq_len).
+    Unused slots carry IGNORE_INDEX.
     """
     import numpy as np
 
     labels = np.asarray(labels)
     b, s = labels.shape
+    budget = min(budget, s)
     pos = np.zeros((b, budget), np.int32)
     out = np.full((b, budget), IGNORE_INDEX, labels.dtype)
+    dropped = 0
     for i in range(b):
-        idx = np.nonzero(labels[i] != IGNORE_INDEX)[0][:budget]
+        idx = np.nonzero(labels[i] != IGNORE_INDEX)[0]
+        dropped += max(len(idx) - budget, 0)
+        idx = idx[:budget]
         pos[i, : len(idx)] = idx
         out[i, : len(idx)] = labels[i, idx]
-    return pos, out
+    return pos, out, dropped
