@@ -81,6 +81,9 @@ class InferenceEngine:
         self._decode_step = jax.jit(
             self._decode_step_impl, static_argnames=("sp",)
         )
+        self._decode_scan = jax.jit(
+            self._decode_scan_impl, static_argnames=("sp", "n")
+        )
         self._encode_images = jax.jit(self._encode_images_impl)
 
     def _make_cache(self, batch: int, max_len: int) -> KVCache:
@@ -126,6 +129,34 @@ class InferenceEngine:
         logits = qwen2.lm_head(params["text"], hidden[:, -1])
         next_token = sample(logits, rng, sp)
         return next_token, cache
+
+    def _decode_scan_impl(self, params, token, start_pos, cache, rng, sp, n):
+        """Generate n tokens in ONE compiled scan (no per-token dispatch).
+
+        Past-EOS steps still run but their outputs are masked to eos — the
+        host trims at the first eos. (The reference's loop early-stops via a
+        broadcast, generation.py:255-258; a fused scan is faster on TPU.)
+        """
+        eos = self.eos_id
+
+        def body(carry, i):
+            token, cache, rng, done = carry
+            rng, sub = jax.random.split(rng)
+            embeds = qwen2.embed_tokens(params["text"], token)
+            hidden, cache = qwen2.qwen2_decoder(
+                params["text"], embeds, (start_pos + i)[None, None],
+                self.cfg.text, kv_cache=cache,
+            )
+            logits = qwen2.lm_head(params["text"], hidden[:, -1])
+            next_token = sample(logits, sub, sp)
+            next_token = jnp.where(done, eos, next_token)
+            done = jnp.logical_or(done, next_token == eos)
+            return (next_token[:, None], cache, rng, done), next_token
+
+        (_, cache, _, _), tokens = jax.lax.scan(
+            body, (token, cache, rng, jnp.zeros((1,), bool)), jnp.arange(n)
+        )
+        return tokens[:, 0], cache  # [n]
 
     # ---- public API ------------------------------------------------------
 
@@ -218,21 +249,18 @@ class InferenceEngine:
         token = token.reshape(1, 1)
         out_tokens = [int(token[0, 0])]
         pos = true_len
-        while (
-            out_tokens[-1] != self.eos_id
-            and len(out_tokens) < sampling.max_new_tokens
-            and pos < self.max_seq_len - 1
-        ):
+        budget = min(
+            sampling.max_new_tokens - 1, self.max_seq_len - 1 - pos
+        )
+        if out_tokens[-1] != self.eos_id and budget > 0:
             rng, sub = jax.random.split(rng)
-            token, cache = self._decode_step(
-                self.params, token, jnp.full((1, 1), pos), cache, sub,
-                sampling,
+            tokens, cache = self._decode_scan(
+                self.params, token, jnp.asarray(pos, jnp.int32), cache, sub,
+                sampling, budget,
             )
-            token = token.reshape(1, 1)
-            out_tokens.append(int(token[0, 0]))
-            pos += 1
+            out_tokens += [int(t) for t in np.asarray(tokens)]
 
-        if out_tokens and out_tokens[-1] == self.eos_id:
-            out_tokens = out_tokens[:-1]
+        if self.eos_id in out_tokens:
+            out_tokens = out_tokens[: out_tokens.index(self.eos_id)]
         text = self.mm.tokenizer.decode(out_tokens, skip_special_tokens=True)
         return GenerationResult(out_tokens, text, true_len)
