@@ -17,7 +17,6 @@ tensors); the ViT patch-embed consumes NHWC directly.
 """
 from __future__ import annotations
 
-import math
 import os
 import re
 from typing import Iterable, Sequence, Union

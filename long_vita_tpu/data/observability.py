@@ -10,7 +10,6 @@ from __future__ import annotations
 import collections
 import json
 import os
-from typing import Iterable, Optional
 
 import numpy as np
 

@@ -19,7 +19,6 @@ module.py generate -> generation.py token loop) and the HF generate path
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Sequence
 
 import numpy as np

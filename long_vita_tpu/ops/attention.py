@@ -26,15 +26,6 @@ import jax.numpy as jnp
 NEG_INF = -2.0**30  # large-but-finite: keeps masked softmax NaN-free in f32
 
 
-def _gqa_repeat(k: jnp.ndarray, num_q_heads: int) -> jnp.ndarray:
-    """[B,S,Hkv,D] -> [B,S,Hq,D] by repeating each KV head."""
-    b, s, hkv, d = k.shape
-    if hkv == num_q_heads:
-        return k
-    group = num_q_heads // hkv
-    return jnp.repeat(k, group, axis=2)
-
-
 def xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -55,16 +46,20 @@ def xla_attention(
       for the causal mask — lets a KV-cache decode step pass its true offset.
     segment ids: packed-sequence isolation (attend only within same segment).
     kv_valid_len: [B] number of valid cache slots (mask the tail).
+
+    GQA is computed with grouped einsums (q reshaped [B,Sq,Hkv,G,D]) so the
+    repeated KV is NEVER materialized — at a 1M-token cache a jnp.repeat
+    of KV to 40 heads would move 5+ GB of HBM per layer per decode step.
     """
     b, sq, hq, d = q.shape
-    skv = k.shape[1]
-    k = _gqa_repeat(k, hq)
-    v = _gqa_repeat(v, hq)
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    qg = q.reshape(b, sq, hkv, g, d)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hkv, G, Sq, Skv]
     if logits_soft_cap is not None:
         logits = logits_soft_cap * jnp.tanh(logits / logits_soft_cap)
 
@@ -95,14 +90,14 @@ def xla_attention(
         )
 
     if mask is not None:
-        logits = jnp.where(mask[:, None, :, :], logits, NEG_INF)
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
 
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
 def dot_product_attention(

@@ -14,8 +14,7 @@ sharding the optimizer state pytree like the params.
 from __future__ import annotations
 
 import dataclasses
-import re
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ stage recipes translated to this schema.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 
 import yaml
@@ -15,7 +14,6 @@ import yaml
 import jax
 import jax.numpy as jnp
 
-from long_vita_tpu.config import LongVITAConfig
 from long_vita_tpu.data.image_processor import ImageProcessor
 from long_vita_tpu.data.multimodal import MultimodalTokenizer
 from long_vita_tpu.parallel.mesh import MeshConfig

@@ -18,7 +18,6 @@ Batch contract (device arrays, already zigzag-permuted when cp > 1):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

@@ -42,11 +42,7 @@ from long_vita_tpu.parallel.zigzag import (
     zigzag_permute,
 )
 from long_vita_tpu.training.optimizer import OptimizerConfig, make_optimizer
-from long_vita_tpu.training.train_step import (
-    TrainState,
-    init_train_state,
-    make_train_step,
-)
+from long_vita_tpu.training.train_step import init_train_state, make_train_step
 
 logger = logging.getLogger(__name__)
 
