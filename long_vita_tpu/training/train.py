@@ -56,6 +56,10 @@ def build_from_recipe(recipe: dict):
         vision_chunk=data_cfg.get("vision_chunk", 256),
         seed=run.get("seed", 42),
         cp_algo=run.get("cp_algo", "ring"),
+        output_dir=run.get("output_dir"),
+        profile_steps=(
+            tuple(run["profile_steps"]) if run.get("profile_steps") else None
+        ),
     )
 
     from long_vita_tpu.tokenizer import load_tokenizer
@@ -90,7 +94,7 @@ def build_from_recipe(recipe: dict):
         default_system_message=data_cfg.get("system_message"),
         cross_dataset_joint=data_cfg.get("cross_dataset_joint", False),
     )
-    return trainer, batches
+    return trainer, batches, tokenizer
 
 
 def main(argv=None):
@@ -98,8 +102,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     args = parser.parse_args(argv)
-    trainer, batches = build_from_recipe(load_recipe(args.config))
-    trainer.train(batches)
+    trainer, batches, tokenizer = build_from_recipe(load_recipe(args.config))
+    trainer.train(batches, tokenizer=tokenizer)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,8 @@ class TrainerConfig:
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
     resume: bool = True  # auto-resume from save_dir's latest checkpoint
     straggler_threshold: float = 2.0  # warn when a step takes > thr x median
+    output_dir: Optional[str] = None  # metrics.jsonl / print_batch / profile
+    profile_steps: Optional[tuple[int, int]] = None  # (start, stop) trace
 
 
 def batch_iterator(
@@ -143,14 +145,29 @@ class Trainer:
             vision_chunk=tcfg.vision_chunk,
         )
 
-    def train(self, batches: Iterator[dict]) -> dict:
+    def train(self, batches: Iterator[dict], tokenizer=None) -> dict:
         tcfg = self.tcfg
         history = []
         step_times: list[float] = []
+        metrics_log = profiler = None
+        if tcfg.output_dir:
+            from long_vita_tpu.utils.metrics import MetricsLogger, Profiler
+
+            metrics_log = MetricsLogger(tcfg.output_dir)
+            if tcfg.profile_steps:
+                profiler = Profiler(tcfg.output_dir, *tcfg.profile_steps)
+        first_batch_dumped = False
         t_last = time.time()
         for step, batch in enumerate(batches, start=self.start_step):
             if step >= tcfg.steps:
                 break
+            if profiler:
+                profiler.step(step)
+            if not first_batch_dumped and tcfg.output_dir and tokenizer:
+                from long_vita_tpu.data.observability import dump_first_batch
+
+                dump_first_batch(tcfg.output_dir, batch, tokenizer)
+                first_batch_dumped = True
             batch = {
                 k: (jnp.asarray(v) if v is not None else None)
                 for k, v in batch.items()
@@ -178,6 +195,12 @@ class Trainer:
                     "tok | %.2fs/step",
                     step, loss, float(metrics["grad_norm"]), tokens, dt,
                 )
+            if metrics_log:
+                metrics_log.log(
+                    step, loss=loss, grad_norm=float(metrics["grad_norm"]),
+                    supervised_tokens=float(metrics["tokens"]),
+                    step_time_s=round(dt, 4),
+                )
             history.append(loss)
             if (
                 tcfg.save_interval
@@ -191,6 +214,10 @@ class Trainer:
             from long_vita_tpu.training.checkpoint import save_checkpoint
 
             save_checkpoint(tcfg.save_dir, self.state)
+        if metrics_log:
+            metrics_log.close()
+        if profiler:
+            profiler.close()
         return {"losses": history}
 
 
