@@ -208,6 +208,7 @@ class PackedDataset:
         pad_token_id: int = 151643,
         cross_dataset_joint: bool = False,
         num_joint_buffers: int = 2,
+        report=None,  # optional data.observability.DataReport
     ):
         self.samples = samples
         self.supervision = supervision
@@ -215,6 +216,7 @@ class PackedDataset:
         self.pad_token_id = pad_token_id
         self.cross_dataset_joint = cross_dataset_joint
         self.num_joint_buffers = num_joint_buffers
+        self.report = report
 
     def _finalize(self, acc: _Accumulator) -> Pack:
         pad = self.max_len - len(acc)
@@ -250,21 +252,27 @@ class PackedDataset:
                 accs[f"joint_{i}"] = _Accumulator()
 
         for sample in self.samples:
+            source = sample.get("source", "default")
             try:
                 ex = self.supervision.render(sample)
-            except Exception:  # noqa: BLE001 — reference logs & skips (:349-357)
-                logger.exception("bad sample skipped (source=%s)",
-                                 sample.get("source"))
+            except Exception as err:  # noqa: BLE001 — reference logs & skips (:349-357)
+                logger.exception("bad sample skipped (source=%s)", source)
+                if self.report:
+                    self.report.record_error(source, str(err), sample)
                 continue
             n = len(ex.input_ids)
             if n > self.max_len:
                 continue  # reference drops over-long samples (:322-323)
+            if self.report:
+                self.report.record(
+                    source, ex.input_ids, ex.labels,
+                    num_images=0 if ex.images is None else ex.images.shape[0],
+                )
 
             if self.cross_dataset_joint:
                 smallest = min(accs, key=lambda k: len(accs[k]))
                 largest = max(accs, key=lambda k: len(accs[k]))
             else:
-                source = sample.get("source", "default")
                 accs.setdefault(source, _Accumulator())
                 smallest = largest = source
 
@@ -279,6 +287,8 @@ class PackedDataset:
         for acc in accs.values():  # drain non-empty buffers
             if len(acc):
                 yield self._finalize(acc)
+        if self.report:
+            self.report.flush()
 
 
 # ---------------------------------------------------------------------------

@@ -231,9 +231,14 @@ def make_data_pipeline(
 ) -> Iterator[dict]:
     samples = load_corpus(corpus_yaml, seed=tcfg.seed)
     supervision = ChatMLSupervision(mm, default_system_message)
+    report = None
+    if tcfg.output_dir:
+        from long_vita_tpu.data.observability import DataReport
+
+        report = DataReport(tcfg.output_dir, tokenizer=mm.tokenizer)
     packs = PackedDataset(
         samples, supervision, tcfg.seq_len, pad_token_id,
-        cross_dataset_joint=cross_dataset_joint,
+        cross_dataset_joint=cross_dataset_joint, report=report,
     )
     return batch_iterator(
         iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
