@@ -30,17 +30,25 @@ from long_vita_tpu.parallel.mesh import AXIS_CP, AXIS_DP, AXIS_TP
 Params = dict[str, Any]
 
 
-def text_param_specs() -> Params:
-    """PartitionSpecs matching the pytree of models/qwen2.py params."""
-    col = P(None, None, AXIS_TP)  # [L, in, out@tp]
-    row = P(None, AXIS_TP, None)  # [L, in@tp, out]
-    bias_col = P(None, AXIS_TP)
-    rep2 = P(None, None)
+def text_param_specs(fsdp: bool = False) -> Params:
+    """PartitionSpecs matching the pytree of models/qwen2.py params.
+
+    fsdp=True additionally shards the stacked layer dim [L, ...] over dp:
+    the decoder's lax.scan then all-gathers one layer's weights per step
+    (classic FSDP weight streaming — replaces the reference's
+    --use-distributed-optimizer, which only shards optimizer state).
+    """
+    ldim = AXIS_DP if fsdp else None
+    col = P(ldim, None, AXIS_TP)  # [L@dp?, in, out@tp]
+    row = P(ldim, AXIS_TP, None)  # [L@dp?, in@tp, out]
+    bias_col = P(ldim, AXIS_TP)
+    norm = P(ldim, None)
+    vocab = P((AXIS_TP, AXIS_DP) if fsdp else AXIS_TP, None)
     return {
-        "embed": {"embedding": P(AXIS_TP, None)},  # vocab-parallel
+        "embed": {"embedding": vocab},  # vocab-parallel
         "layers": {
-            "input_norm": rep2,
-            "post_attn_norm": rep2,
+            "input_norm": norm,
+            "post_attn_norm": norm,
             "q_proj": {"kernel": col, "bias": bias_col},
             "k_proj": {"kernel": col, "bias": bias_col},
             "v_proj": {"kernel": col, "bias": bias_col},
@@ -50,7 +58,9 @@ def text_param_specs() -> Params:
             "down_proj": {"kernel": row},
         },
         "final_norm": P(None),
-        "lm_head": {"kernel": P(None, AXIS_TP)},
+        "lm_head": {
+            "kernel": P(None, (AXIS_TP, AXIS_DP) if fsdp else AXIS_TP)
+        },
     }
 
 
@@ -58,18 +68,19 @@ def _replicate_like(tree: Params) -> Params:
     return jax.tree.map(lambda _: P(), tree)
 
 
-def long_vita_param_specs(params: Params) -> Params:
-    """Specs for the full VLM param pytree (vision/projector replicated)."""
-    specs: Params = {"text": text_param_specs()}
+def long_vita_param_specs(params: Params, fsdp: bool = False) -> Params:
+    """Specs for the full VLM param pytree (vision/projector replicated —
+    the 300M tower is cheaper gathered than streamed)."""
+    specs: Params = {"text": text_param_specs(fsdp)}
     if "vision" in params:
         specs["vision"] = _replicate_like(params["vision"])
         specs["projector"] = _replicate_like(params["projector"])
     return specs
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
+def shard_params(params: Params, mesh: Mesh, fsdp: bool = False) -> Params:
     """Place a param pytree onto the mesh according to the rules above."""
-    specs = long_vita_param_specs(params)
+    specs = long_vita_param_specs(params, fsdp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -57,6 +57,7 @@ def build_from_recipe(recipe: dict):
         seed=run.get("seed", 42),
         cp_algo=run.get("cp_algo", "ring"),
         output_dir=run.get("output_dir"),
+        fsdp=run.get("fsdp", False),
         profile_steps=(
             tuple(run["profile_steps"]) if run.get("profile_steps") else None
         ),

@@ -118,10 +118,11 @@ def make_train_step(
 
 
 def init_train_state(
-    params: Params, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
+    params: Params, tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None, fsdp: bool = False,
 ) -> TrainState:
     if mesh is not None:
-        specs = long_vita_param_specs(params)
+        specs = long_vita_param_specs(params, fsdp)
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
         )

@@ -63,6 +63,7 @@ class TrainerConfig:
     seed: int = 42
     cp_algo: str = "ring"  # "ring" | "ulysses" | "hybrid"
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
+    fsdp: bool = False  # shard layer-stacked params over dp (ZeRO-3 style)
     resume: bool = True  # auto-resume from save_dir's latest checkpoint
     straggler_threshold: float = 2.0  # warn when a step takes > thr x median
     output_dir: Optional[str] = None  # metrics.jsonl / print_batch / profile
@@ -122,7 +123,9 @@ class Trainer:
             params, tcfg.optim,
             num_vit_layers=(cfg.vision.num_hidden_layers if cfg.vision else 0),
         )
-        self.state = init_train_state(params, self.tx, self.mesh)
+        self.state = init_train_state(
+            params, self.tx, self.mesh, fsdp=tcfg.fsdp
+        )
         self.start_step = 0
         if tcfg.resume and tcfg.save_dir:
             # recovery = relaunch + resume (reference --save-interval flow)

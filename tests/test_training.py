@@ -140,3 +140,24 @@ def test_checkpoint_roundtrip(tmp_path, mm):
         np.asarray(p2["text"]["embed"]["embedding"]),
         np.asarray(state.params["text"]["embed"]["embedding"]),
     )
+
+
+def test_fsdp_matches_replicated(mm):
+    """FSDP-sharded params give the same first-step loss as replicated."""
+    cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+
+    def one_step(fsdp):
+        tcfg = TrainerConfig(
+            seq_len=128, logit_budget=32, global_batch=2, steps=1,
+            mesh=MeshConfig(dp=2, cp=2, tp=2),
+            optim=OptimizerConfig(lr=1e-3, total_steps=1), remat=False,
+            fsdp=fsdp,
+        )
+        fresh = jax.tree.map(lambda x: np.array(x), params)
+        trainer = Trainer(fresh, cfg, tcfg)
+        return trainer.train(_pipeline(mm, tcfg))["losses"][0]
+
+    a = one_step(False)
+    b = one_step(True)
+    assert abs(a - b) < 1e-4, (a, b)
