@@ -180,10 +180,22 @@ def _attention_block(
 
     new_cache_kv = None
     if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
-        new_cache_kv = (ck, cv)
+        # Full stacked caches [L, B, Smax, Hkv, D] ride the layer-scan CARRY
+        # and only the new [s]-token slice is written — XLA aliases the
+        # carry in place, so a decode step moves O(read) HBM, not a full
+        # cache copy per token (scan ys would be fresh buffers).
+        ck_full, cv_full, layer_idx = cache_kv
+        ck_full = jax.lax.dynamic_update_slice(
+            ck_full, k.astype(ck_full.dtype)[None],
+            (layer_idx, 0, cache_len, 0, 0),
+        )
+        cv_full = jax.lax.dynamic_update_slice(
+            cv_full, v.astype(cv_full.dtype)[None],
+            (layer_idx, 0, cache_len, 0, 0),
+        )
+        new_cache_kv = (ck_full, cv_full)
+        ck = jax.lax.dynamic_index_in_dim(ck_full, layer_idx, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_full, layer_idx, keepdims=False)
         out = dot_product_attention(
             q,
             ck,
@@ -271,35 +283,36 @@ def qwen2_decoder(
 
     layers = params["layers"]
 
-    def body(carry, layer_and_cache):
-        x = carry
-        if kv_cache is not None:
-            layer, (ck, cv) = layer_and_cache
-            x, (nk, nv) = decoder_layer(
-                layer, x, cos, sin, cfg, (ck, cv), kv_cache.length,
-                position_ids, segment_ids, attn_impl,
-            )
-            return x, (nk, nv)
-        layer = layer_and_cache
-        x, _ = decoder_layer(
-            layer, x, cos, sin, cfg, None, None,
-            position_ids, segment_ids, attn_impl, parallel,
-        )
-        return x, None
-
-    if remat:
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.nothing_saveable
-        )
-
     if kv_cache is not None:
-        hidden, (nk, nv) = jax.lax.scan(
-            body, inputs_embeds, (layers, (kv_cache.k, kv_cache.v))
+        def body(carry, layer_and_idx):
+            x, ck, cv = carry
+            layer, layer_idx = layer_and_idx
+            x, (ck, cv) = decoder_layer(
+                layer, x, cos, sin, cfg, (ck, cv, layer_idx),
+                kv_cache.length, position_ids, segment_ids, attn_impl,
+            )
+            return (x, ck, cv), None
+
+        (hidden, nk, nv), _ = jax.lax.scan(
+            body,
+            (inputs_embeds, kv_cache.k, kv_cache.v),
+            (layers, jnp.arange(cfg.num_hidden_layers)),
         )
         new_cache = KVCache(
             k=nk, v=nv, length=kv_cache.length + inputs_embeds.shape[1]
         )
     else:
+        def body(x, layer):
+            x, _ = decoder_layer(
+                layer, x, cos, sin, cfg, None, None,
+                position_ids, segment_ids, attn_impl, parallel,
+            )
+            return x, None
+
+        if remat:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.nothing_saveable
+            )
         hidden, _ = jax.lax.scan(body, inputs_embeds, layers)
         new_cache = None
 
