@@ -70,10 +70,17 @@ class InferenceEngine:
         self.cache_dtype = cache_dtype
         self.eos_id = cfg.text.eos_token_id
         self.mesh = mesh
+        self.parallel = None
         if mesh is not None:
             from long_vita_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
+            if mesh.shape.get("cp", 1) > 1:
+                from long_vita_tpu.models.qwen2 import ParallelConfig
+
+                # sequence-sharded KV cache + shard_map partial-merge
+                # attention (1M serving without recompute-per-token)
+                self.parallel = ParallelConfig(mesh)
         self.params = params
 
         self._prefill_chunk = jax.jit(self._prefill_chunk_impl)
@@ -94,8 +101,11 @@ class InferenceEngine:
 
             from long_vita_tpu.parallel.mesh import AXIS_TP
 
+            from long_vita_tpu.parallel.mesh import AXIS_CP
+
+            cp_axis = AXIS_CP if self.parallel is not None else None
             spec = NamedSharding(
-                self.mesh, P(None, None, None, AXIS_TP, None)
+                self.mesh, P(None, None, cp_axis, AXIS_TP, None)
             )
             cache = KVCache(
                 jax.device_put(cache.k, spec),
@@ -116,14 +126,16 @@ class InferenceEngine:
         b, s, _ = embeds.shape
         positions = start + jnp.arange(s)[None, :]
         hidden, cache = qwen2.qwen2_decoder(
-            params["text"], embeds, positions, self.cfg.text, kv_cache=cache
+            params["text"], embeds, positions, self.cfg.text, kv_cache=cache,
+            parallel=self.parallel,
         )
         return hidden[:, -1], cache  # last row hidden (pre-head)
 
     def _decode_step_impl(self, params, token, pos, cache, rng, sp):
         embeds = qwen2.embed_tokens(params["text"], token)
         hidden, cache = qwen2.qwen2_decoder(
-            params["text"], embeds, pos, self.cfg.text, kv_cache=cache
+            params["text"], embeds, pos, self.cfg.text, kv_cache=cache,
+            parallel=self.parallel,
         )
         logits = qwen2.lm_head(params["text"], hidden[:, -1])
         next_token = sample(logits, rng, sp)
@@ -144,7 +156,7 @@ class InferenceEngine:
             embeds = qwen2.embed_tokens(params["text"], token)
             hidden, cache = qwen2.qwen2_decoder(
                 params["text"], embeds, (start_pos + i)[None, None],
-                self.cfg.text, kv_cache=cache,
+                self.cfg.text, kv_cache=cache, parallel=self.parallel,
             )
             logits = qwen2.lm_head(params["text"], hidden[:, -1])
             next_token = sample(logits, sub, sp)
@@ -218,6 +230,7 @@ class InferenceEngine:
                 self.params["text"], embeds1,
                 jnp.full((1, 1), true_len - 1),
                 self.cfg.text, kv_cache=cache_minus,
+                parallel=self.parallel,
             )
             last_hidden = hidden[:, -1]
         return cache, last_hidden, true_len

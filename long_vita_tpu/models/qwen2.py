@@ -157,6 +157,33 @@ def _cp_attention_sharded(
     return fn(*args)
 
 
+def _cp_cached_attention_sharded(
+    q, ck, cv, q_offset, cache_len, parallel: "ParallelConfig"
+):
+    """Cached attention with the KV cache sequence-sharded over cp.
+
+    Without this, a pallas flash call on a cp-sharded cache would make
+    GSPMD all-gather the whole cache (196 GB at 1M tokens for the 14B
+    model); shard_map keeps each rank's shard local and merges partials
+    (ops/cp_cache_attention.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from long_vita_tpu.ops.cp_cache_attention import cp_cached_attention
+
+    qspec = P(parallel.axis_dp, None, parallel.axis_tp, None)
+    cspec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
+    fn = jax.shard_map(
+        lambda q_, k_, v_, qo, cl: cp_cached_attention(
+            q_, k_, v_, qo, cl, parallel.axis_cp
+        ),
+        mesh=parallel.mesh,
+        in_specs=(qspec, cspec, cspec, P(), P()),
+        out_specs=qspec,
+    )
+    return fn(q, ck, cv, q_offset, cache_len)
+
+
 def _attention_block(
     layer: Params,
     x: jnp.ndarray,
@@ -196,16 +223,23 @@ def _attention_block(
         new_cache_kv = (ck_full, cv_full)
         ck = jax.lax.dynamic_index_in_dim(ck_full, layer_idx, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_full, layer_idx, keepdims=False)
-        out = dot_product_attention(
-            q,
-            ck,
-            cv,
-            causal=True,
-            q_positions=position_ids,
-            kv_positions=jnp.broadcast_to(jnp.arange(ck.shape[1]), (b, ck.shape[1])),
-            kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
-            impl=attn_impl,
-        )
+        if parallel is not None:
+            out = _cp_cached_attention_sharded(
+                q, ck, cv, position_ids[0, 0], cache_len + s, parallel
+            )
+        else:
+            out = dot_product_attention(
+                q,
+                ck,
+                cv,
+                causal=True,
+                q_positions=position_ids,
+                kv_positions=jnp.broadcast_to(
+                    jnp.arange(ck.shape[1]), (b, ck.shape[1])
+                ),
+                kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                impl=attn_impl,
+            )
     elif parallel is not None:
         out = _cp_attention_sharded(q, k, v, segment_ids, parallel)
     else:
@@ -290,6 +324,7 @@ def qwen2_decoder(
             x, (ck, cv) = decoder_layer(
                 layer, x, cos, sin, cfg, (ck, cv, layer_idx),
                 kv_cache.length, position_ids, segment_ids, attn_impl,
+                parallel,
             )
             return (x, ck, cv), None
 

@@ -119,3 +119,22 @@ def test_sharded_engine_matches_single_device(engine):
     a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
     b = sharded.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
     assert a.token_ids == b.token_ids
+
+
+def test_cp_sharded_cache_engine(engine):
+    """cp>1 engine (sequence-sharded KV cache) matches single-device."""
+    import numpy as np
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(
+        MeshConfig(dp=1, cp=2, tp=2), devices=jax.devices()[:4]
+    )
+    sharded = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=128,
+        cache_dtype=jnp.float32, mesh=mesh,
+    )
+    msgs = [{"role": "user", "content": "long context serving check"}]
+    a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
+    b = sharded.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
+    assert a.token_ids == b.token_ids
