@@ -22,6 +22,7 @@ def build_engine(
     max_num_frame: int = 4096,
     dtype_name: str = "bfloat16",
     tp: int = 1,
+    cp: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -36,10 +37,12 @@ def build_engine(
     tokenizer = load_tokenizer(model_path)
     mm = MultimodalTokenizer(tokenizer, max_num_frame=max_num_frame)
     mesh = None
-    if tp > 1:
+    if tp > 1 or cp > 1:
         from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
 
-        mesh = make_mesh(MeshConfig(tp=tp), devices=jax.devices()[:tp])
+        mesh = make_mesh(
+            MeshConfig(tp=tp, cp=cp), devices=jax.devices()[: tp * cp]
+        )
     return InferenceEngine(
         params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
         cache_dtype=dtype, mesh=mesh,
@@ -63,6 +66,9 @@ def main(argv=None):
                         choices=["bfloat16", "float32"])
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel ways (multi-chip serving)")
+    parser.add_argument("--cp", type=int, default=1,
+                        help="context-parallel ways (KV cache sharded by "
+                             "sequence; 1M-token serving)")
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--chat", action="store_true",
                         help="interactive multi-turn chat REPL")
@@ -73,6 +79,7 @@ def main(argv=None):
     engine = build_engine(
         args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
         max_num_frame=args.max_num_frame, dtype_name=args.dtype, tp=args.tp,
+        cp=args.cp,
     )
 
     if args.serve:
