@@ -43,6 +43,7 @@ class GenerationResult:
     token_ids: list[int]
     text: str
     prompt_tokens: int
+    logprobs: Optional[list[float]] = None
 
 
 class InferenceEngine:
@@ -149,6 +150,7 @@ class InferenceEngine:
         broadcast, generation.py:255-258; a fused scan is faster on TPU.)
         """
         eos = self.eos_id
+        stops = jnp.asarray((eos,) + tuple(sp.stop_token_ids), jnp.int32)
 
         def body(carry, i):
             token, cache, rng, done = carry
@@ -161,13 +163,17 @@ class InferenceEngine:
             logits = qwen2.lm_head(params["text"], hidden[:, -1])
             next_token = sample(logits, sub, sp)
             next_token = jnp.where(done, eos, next_token)
-            done = jnp.logical_or(done, next_token == eos)
-            return (next_token[:, None], cache, rng, done), next_token
+            logprob = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1),
+                next_token[:, None], axis=-1,
+            )[:, 0]
+            done = jnp.logical_or(done, jnp.any(next_token[:, None] == stops[None], axis=-1))
+            return (next_token[:, None], cache, rng, done), (next_token, logprob)
 
-        (_, cache, _, _), tokens = jax.lax.scan(
+        (_, cache, _, _), (tokens, logprobs) = jax.lax.scan(
             body, (token, cache, rng, jnp.zeros((1,), bool)), jnp.arange(n)
         )
-        return tokens[:, 0], cache  # [n]
+        return tokens[:, 0], logprobs[:, 0], cache  # [n]
 
     # ---- public API ------------------------------------------------------
 
@@ -264,15 +270,24 @@ class InferenceEngine:
         budget = min(
             sampling.max_new_tokens - 1, self.max_seq_len - 1 - pos
         )
+        logprobs: list[float] = [float("nan")]  # first token: head-only path
         if out_tokens[-1] != self.eos_id and budget > 0:
             rng, sub = jax.random.split(rng)
-            tokens, cache = self._decode_scan(
+            tokens, lps, cache = self._decode_scan(
                 self.params, token, jnp.asarray(pos, jnp.int32), cache, sub,
                 sampling, budget,
             )
             out_tokens += [int(t) for t in np.asarray(tokens)]
+            logprobs += [float(x) for x in np.asarray(lps)]
 
-        if self.eos_id in out_tokens:
-            out_tokens = out_tokens[: out_tokens.index(self.eos_id)]
+        stop_set = {self.eos_id, *sampling.stop_token_ids}
+        for idx, t in enumerate(out_tokens):
+            if t in stop_set:
+                out_tokens = out_tokens[:idx]
+                logprobs = logprobs[:idx]
+                break
         text = self.mm.tokenizer.decode(out_tokens, skip_special_tokens=True)
-        return GenerationResult(out_tokens, text, true_len)
+        return GenerationResult(
+            out_tokens, text, true_len,
+            logprobs if sampling.return_logprobs else None,
+        )

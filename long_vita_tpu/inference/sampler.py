@@ -20,6 +20,8 @@ class SamplingParams:
     top_p: float = 0.0  # 0 = disabled
     greedy: bool = True
     max_new_tokens: int = 256
+    stop_token_ids: tuple = ()  # extra stop tokens (stop_on_eol etc.)
+    return_logprobs: bool = False
 
 
 def sample(

@@ -111,12 +111,20 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
 
         top_k = req.get("top_k", 0)
         top_p = float(req.get("top_p", 0.0))
+        stop_ids = ()
+        if req.get("stop_on_eol") or req.get("stop_on_double_eol"):
+            nl = self.engine.mm.tokenizer(
+                "\n", add_special_tokens=False
+            ).input_ids
+            stop_ids = tuple(nl)
         sampling = SamplingParams(
             temperature=float(req.get("temperature", 1.0)),
             top_k=top_k,
             top_p=top_p,
             greedy=(top_k == 0 and top_p == 0.0),
             max_new_tokens=int(req.get("tokens_to_generate", 64)) or 1,
+            stop_token_ids=stop_ids,
+            return_logprobs=bool(req.get("logprobs", False)),
         )
         try:
             with self.server.generate_lock:
@@ -130,7 +138,10 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — surface as 400 like reference
             self._reply(400, str(e), "text/plain")
             return
-        self._reply(200, json.dumps({"text": [result.text]}))
+        payload = {"text": [result.text]}
+        if sampling.return_logprobs:
+            payload["logprobs"] = [result.logprobs]
+        self._reply(200, json.dumps(payload))
 
 
 def make_server(
