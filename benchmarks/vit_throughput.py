@@ -20,6 +20,8 @@ def log(*a):
 
 
 def main():
+    import argparse
+
     from long_vita_tpu.config import LongVITAConfig, VisionConfig
     from long_vita_tpu.models.intern_vit import init_vit_params, intern_vit
     from long_vita_tpu.models.projector import (
@@ -27,9 +29,14 @@ def main():
         project_features,
     )
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--attn-impl", default="auto")
+    args = ap.parse_args()
+
     cfg = LongVITAConfig()  # InternViT-300M 448px + 14B projector
     v = cfg.vision
-    batch = 32  # tiles per step
+    batch = args.batch  # tiles per step
 
     kv = jax.random.PRNGKey(0)
     vit_params = init_vit_params(kv, v, jnp.bfloat16)
@@ -43,7 +50,7 @@ def main():
 
     @jax.jit
     def encode(vp, pp, x):
-        feats = intern_vit(vp, x, v)[:, 1:, :]
+        feats = intern_vit(vp, x, v, attn_impl=args.attn_impl)[:, 1:, :]
         out = project_features(pp, feats, cfg)
         return jnp.sum(out.astype(jnp.float32))
 

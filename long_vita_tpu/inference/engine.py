@@ -85,6 +85,7 @@ class InferenceEngine:
         self.params = params
 
         self._prefill_chunk = jax.jit(self._prefill_chunk_impl)
+        self._embed_prompt = jax.jit(self._embed_prompt_impl)
         self._decode_step = jax.jit(
             self._decode_step_impl, static_argnames=("sp",)
         )
@@ -121,6 +122,24 @@ class InferenceEngine:
         return encode_images(
             params, images, self.cfg, chunk=self.vision_chunk
         )
+
+    def _embed_prompt_impl(self, params, ids, feats, indices):
+        """Token embeds + image-feature scatter, cp-sharded when meshed.
+
+        At 1M tokens the [1, S, H] bf16 embeds are ~10 GB — they must shard
+        over cp alongside the cache, never live replicated."""
+        embeds = qwen2.embed_tokens(params["text"], ids)
+        if feats is not None:
+            embeds = merge_image_embeddings(embeds, feats, indices)
+        if self.parallel is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from long_vita_tpu.parallel.mesh import AXIS_CP
+
+            embeds = jax.lax.with_sharding_constraint(
+                embeds, NamedSharding(self.mesh, P(None, AXIS_CP, None))
+            )
+        return embeds.astype(self.cache_dtype)
 
     def _prefill_chunk_impl(self, params, embeds, start, cache):
         """Run one prompt chunk through the decoder, extending the cache."""
@@ -195,14 +214,13 @@ class InferenceEngine:
         ids[0, :true_len] = input_ids
         ids = jnp.asarray(ids)
 
-        embeds = qwen2.embed_tokens(self.params["text"], ids)
+        feats = indices = None
         if images is not None and images.shape[0] > 0:
             feats = self._encode_images(
                 self.params, jnp.asarray(images, self.cache_dtype)
             )
-            embeds = merge_image_embeddings(
-                embeds, feats, jnp.asarray(image_indices)
-            )
+            indices = jnp.asarray(image_indices)
+        embeds = self._embed_prompt(self.params, ids, feats, indices)
 
         cache = self._make_cache(
             batch=1, max_len=_round_up(self.max_seq_len, self.chunk)

@@ -108,7 +108,7 @@ def intern_vit(
     x = vit_embeddings(params["embeddings"], pixels, cfg)
 
     def body(carry, layer):
-        return vit_layer(layer, carry, cfg, "auto"), None
+        return vit_layer(layer, carry, cfg, attn_impl), None
 
     if remat:
         body = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
