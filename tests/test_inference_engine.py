@@ -138,3 +138,18 @@ def test_cp_sharded_cache_engine(engine):
     a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
     b = sharded.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
     assert a.token_ids == b.token_ids
+
+
+def test_stop_tokens_and_logprobs(engine):
+    nl = engine.mm.tokenizer("\n", add_special_tokens=False).input_ids
+    res = engine.generate(
+        [{"role": "user", "content": "hello"}],
+        sampling=SamplingParams(
+            greedy=True, max_new_tokens=12,
+            stop_token_ids=tuple(nl), return_logprobs=True,
+        ),
+    )
+    assert res.logprobs is not None
+    assert len(res.logprobs) == len(res.token_ids)
+    # no stop token in the output
+    assert all(t not in set(nl) for t in res.token_ids)
