@@ -662,7 +662,9 @@ def _prepare(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
     block multiples. Padded kv positions are masked by kv_len."""
     b, sq, hq, d = q.shape
     skv = k.shape[1]
-    d_pad = _round_up(d, _LANE)
+    # blocks always span the full head dim, so any d that tiles the MXU
+    # sublanes works unpadded (64 for ViT); ragged d pads to the lane width
+    d_pad = d if d % 64 == 0 else _round_up(d, _LANE)
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_kv)
 
