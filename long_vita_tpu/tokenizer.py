@@ -54,13 +54,33 @@ QWEN_CHATML_TEMPLATE = (
     "{%- endif %}"
 )
 
+# The reference SERVER renders with the "long_vita" template
+# (configs/finetune/templates.json via --prompt-type long_vita,
+# inference_..._server.sh:174): plain ChatML with NO default system message,
+# stop word <|im_end|>. Serving/eval must use this for answer parity.
+LONG_VITA_CHAT_TEMPLATE = (
+    "{%- for message in messages %}"
+    "{{- '<|im_start|>' + message['role'] + '\\n' + message['content'] "
+    "+ '<|im_end|>' + '\\n' }}{%- endfor %}"
+    "{%- if add_generation_prompt %}{{- '<|im_start|>assistant\\n' }}"
+    "{%- endif %}"
+)
 
-def load_tokenizer(path: str):
-    """Load an HF tokenizer dir, add special tokens, ensure a chat template."""
+
+def load_tokenizer(path: str, template: str = "long_vita"):
+    """Load an HF tokenizer dir, add special tokens, set the chat template.
+
+    template "long_vita" (default) matches the reference server's rendering
+    (no default system message); "checkpoint" keeps the tokenizer_config's
+    own template (Qwen default-system behavior); "qwen" forces ChatML with
+    the Qwen system default.
+    """
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(path, trust_remote_code=False)
     tokenizer = update_tokenizer(tokenizer)
-    if tokenizer.chat_template is None:
+    if template == "long_vita":
+        tokenizer.chat_template = LONG_VITA_CHAT_TEMPLATE
+    elif template == "qwen" or tokenizer.chat_template is None:
         tokenizer.chat_template = QWEN_CHATML_TEMPLATE
     return tokenizer
