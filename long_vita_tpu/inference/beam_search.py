@@ -50,7 +50,6 @@ def beam_search(
     logits = np.asarray(
         qwen2.lm_head(engine.params["text"], last_hidden)[0], np.float32
     )
-    logprobs = logits - np.log(np.sum(np.exp(logits - logits.max())))
     logprobs = logits - (np.log(np.sum(np.exp(logits - logits.max())))
                          + logits.max())
 

@@ -41,8 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.0**30
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_KV = 512
+# Tuned on v5e (benchmarks/flash_tuning.py, 16K causal 14B geometry):
+# 1024x1024 -> 93.3 TFLOP/s vs 59.4 at 512x512; 2048x1024 exceeds VMEM.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_KV = 1024
 _LANE = 128
 
 
