@@ -62,6 +62,10 @@ def beam_search(
         jnp.repeat(cache.k, beam_size, axis=1),
         jnp.repeat(cache.v, beam_size, axis=1),
         cache.length,
+        k_scale=(jnp.repeat(cache.k_scale, beam_size, axis=1)
+                 if cache.k_scale is not None else None),
+        v_scale=(jnp.repeat(cache.v_scale, beam_size, axis=1)
+                 if cache.v_scale is not None else None),
     )
 
     @jax.jit
@@ -107,7 +111,13 @@ def beam_search(
             break
         beams = new_beams
         order = jnp.asarray(reorder)
-        cache = KVCache(cache.k[:, order], cache.v[:, order], cache.length)
+        cache = KVCache(
+            cache.k[:, order], cache.v[:, order], cache.length,
+            k_scale=(cache.k_scale[:, order]
+                     if cache.k_scale is not None else None),
+            v_scale=(cache.v_scale[:, order]
+                     if cache.v_scale is not None else None),
+        )
 
         if len(finished) >= beam_size:
             best_possible = _length_penalty_score(

@@ -57,6 +57,7 @@ class InferenceEngine:
         chunk: int = 2048,
         vision_chunk: int = 256,
         cache_dtype=jnp.bfloat16,
+        kv_quant: bool = False,
         mesh=None,
     ):
         """mesh: optional jax Mesh for multi-chip serving — params shard by
@@ -69,6 +70,7 @@ class InferenceEngine:
         self.chunk = chunk
         self.vision_chunk = vision_chunk
         self.cache_dtype = cache_dtype
+        self.kv_quant = kv_quant
         self.eos_id = cfg.text.eos_token_id
         self.mesh = mesh
         self.parallel = None
@@ -96,7 +98,8 @@ class InferenceEngine:
 
     def _make_cache(self, batch: int, max_len: int) -> KVCache:
         cache = KVCache.zeros(
-            self.cfg.text, batch=batch, max_len=max_len, dtype=self.cache_dtype
+            self.cfg.text, batch=batch, max_len=max_len,
+            dtype=self.cache_dtype, quantize=self.kv_quant,
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -113,6 +116,14 @@ class InferenceEngine:
                 jax.device_put(cache.k, spec),
                 jax.device_put(cache.v, spec),
                 cache.length,
+                k_scale=(
+                    jax.device_put(cache.k_scale, spec)
+                    if cache.k_scale is not None else None
+                ),
+                v_scale=(
+                    jax.device_put(cache.v_scale, spec)
+                    if cache.v_scale is not None else None
+                ),
             )
         return cache
 
@@ -235,14 +246,18 @@ class InferenceEngine:
             )
         # padded tail slots hold garbage kv; shrink the cache to truth so
         # decode masks them and overwrites them one position at a time.
-        cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+        cache = KVCache(
+            cache.k, cache.v, jnp.asarray(true_len, jnp.int32),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
 
         # logits row for the true last prompt token
         if padded != true_len:
             # recompute the last row exactly: decode-style pass of the final
             # real token against the cache shrunk to exclude it
             cache_minus = KVCache(
-                cache.k, cache.v, jnp.asarray(true_len - 1, jnp.int32)
+                cache.k, cache.v, jnp.asarray(true_len - 1, jnp.int32),
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
             )
             tok = ids[:, true_len - 1 : true_len]
             embeds1 = qwen2.embed_tokens(self.params["text"], tok)

@@ -59,15 +59,29 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 @dataclasses.dataclass
 class KVCache:
-    """Static-shape KV cache: k/v are [L, B, Smax, Hkv, D]."""
+    """Static-shape KV cache: k/v are [L, B, Smax, Hkv, D].
+
+    With int8 quantization (`zeros(..., quantize=True)`) k/v store int8
+    values plus per-(token, head) f32 scales — decode reads HALF the HBM
+    (the decode bottleneck at long context). Dequantization fuses into the
+    attention matmuls (ops/attention.py quant path); the reference has no
+    KV quantization at all.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray  # scalar int32: number of valid positions
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, Smax, Hkv, 1] f32
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def zeros(
-        cls, cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+        cls, cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+        quantize: bool = False,
     ) -> "KVCache":
         shape = (
             cfg.num_hidden_layers,
@@ -76,6 +90,14 @@ class KVCache:
             cfg.num_key_value_heads,
             cfg.head_dim,
         )
+        if quantize:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+                v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -84,8 +106,17 @@ class KVCache:
 
 
 jax.tree_util.register_dataclass(
-    KVCache, data_fields=["k", "v", "length"], meta_fields=[]
+    KVCache, data_fields=["k", "v", "length", "k_scale", "v_scale"],
+    meta_fields=[],
 )
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, head) symmetric int8: [..., D] -> (int8, f32 scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 def _cp_attention_sharded(
@@ -211,19 +242,58 @@ def _attention_block(
         # and only the new [s]-token slice is written — XLA aliases the
         # carry in place, so a decode step moves O(read) HBM, not a full
         # cache copy per token (scan ys would be fresh buffers).
-        ck_full, cv_full, layer_idx = cache_kv
+        ck_full, cv_full, ks_full, vs_full, layer_idx = cache_kv
+        quant = ks_full is not None
+        if quant:
+            k_w, k_sc = quantize_kv(k)
+            v_w, v_sc = quantize_kv(v)
+            ks_full = jax.lax.dynamic_update_slice(
+                ks_full, k_sc[None], (layer_idx, 0, cache_len, 0, 0)
+            )
+            vs_full = jax.lax.dynamic_update_slice(
+                vs_full, v_sc[None], (layer_idx, 0, cache_len, 0, 0)
+            )
+        else:
+            k_w, v_w = k.astype(ck_full.dtype), v.astype(cv_full.dtype)
         ck_full = jax.lax.dynamic_update_slice(
-            ck_full, k.astype(ck_full.dtype)[None],
-            (layer_idx, 0, cache_len, 0, 0),
+            ck_full, k_w[None], (layer_idx, 0, cache_len, 0, 0)
         )
         cv_full = jax.lax.dynamic_update_slice(
-            cv_full, v.astype(cv_full.dtype)[None],
-            (layer_idx, 0, cache_len, 0, 0),
+            cv_full, v_w[None], (layer_idx, 0, cache_len, 0, 0)
         )
-        new_cache_kv = (ck_full, cv_full)
+        new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
         ck = jax.lax.dynamic_index_in_dim(ck_full, layer_idx, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_full, layer_idx, keepdims=False)
-        if parallel is not None:
+        if quant:
+            ks = jax.lax.dynamic_index_in_dim(ks_full, layer_idx, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(vs_full, layer_idx, keepdims=False)
+            if s > 1:
+                # prefill chunk: dequantize the layer slice and take the
+                # flash kernel (the fused-int8 path would materialize
+                # [chunk, Smax] f32 logits)
+                ck_d = (ck.astype(jnp.float32) * ks).astype(q.dtype)
+                cv_d = (cv.astype(jnp.float32) * vs).astype(q.dtype)
+                out = dot_product_attention(
+                    q, ck_d, cv_d, causal=True,
+                    q_positions=position_ids,
+                    kv_positions=jnp.broadcast_to(
+                        jnp.arange(ck.shape[1]), (b, ck.shape[1])
+                    ),
+                    kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                    impl=attn_impl,
+                )
+            else:
+                from long_vita_tpu.ops.attention import xla_attention_quant
+
+                out = xla_attention_quant(
+                    q, ck, ks, cv, vs,
+                    q_positions=position_ids,
+                    kv_positions=jnp.broadcast_to(
+                        jnp.arange(ck.shape[1]), (b, ck.shape[1])
+                    ),
+                    kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                )
+        elif parallel is not None:
             out = _cp_cached_attention_sharded(
                 q, ck, cv, position_ids[0, 0], cache_len + s, parallel
             )
@@ -319,22 +389,24 @@ def qwen2_decoder(
 
     if kv_cache is not None:
         def body(carry, layer_and_idx):
-            x, ck, cv = carry
+            x, ck, cv, ks, vs = carry
             layer, layer_idx = layer_and_idx
-            x, (ck, cv) = decoder_layer(
-                layer, x, cos, sin, cfg, (ck, cv, layer_idx),
+            x, (ck, cv, ks, vs) = decoder_layer(
+                layer, x, cos, sin, cfg, (ck, cv, ks, vs, layer_idx),
                 kv_cache.length, position_ids, segment_ids, attn_impl,
                 parallel,
             )
-            return (x, ck, cv), None
+            return (x, ck, cv, ks, vs), None
 
-        (hidden, nk, nv), _ = jax.lax.scan(
+        (hidden, nk, nv, nks, nvs), _ = jax.lax.scan(
             body,
-            (inputs_embeds, kv_cache.k, kv_cache.v),
+            (inputs_embeds, kv_cache.k, kv_cache.v,
+             kv_cache.k_scale, kv_cache.v_scale),
             (layers, jnp.arange(cfg.num_hidden_layers)),
         )
         new_cache = KVCache(
-            k=nk, v=nv, length=kv_cache.length + inputs_embeds.shape[1]
+            k=nk, v=nv, length=kv_cache.length + inputs_embeds.shape[1],
+            k_scale=nks, v_scale=nvs,
         )
     else:
         def body(x, layer):

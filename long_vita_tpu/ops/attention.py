@@ -100,6 +100,60 @@ def xla_attention(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
+def xla_attention_quant(
+    q: jnp.ndarray,  # [B, Sq, Hq, D]
+    k_q: jnp.ndarray,  # [B, Skv, Hkv, D] int8
+    k_scale: jnp.ndarray,  # [B, Skv, Hkv, 1] f32
+    v_q: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    *,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+    kv_valid_len: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Causal attention against an int8 KV cache, dequant fused into the
+    matmuls: logits pick up the per-row k scale AFTER the int8 dot; probs
+    pick up the v scale BEFORE the int8 dot — the bf16 cache never
+    materializes, so decode reads half the HBM."""
+    b, sq, hq, d = q.shape
+    skv, hkv = k_q.shape[1], k_q.shape[2]
+    g = hq // hkv
+    qg = q.reshape(b, sq, hkv, g, d)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg.astype(jnp.bfloat16),
+        k_q.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    )
+    # fold in per-(token, head) k scales: [B,Skv,Hkv,1] -> [B,Hkv,1,1,Skv]
+    ks = jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
+    logits = logits * ks * scale
+
+    qpos = (
+        q_positions if q_positions is not None
+        else jnp.broadcast_to(jnp.arange(sq), (b, sq))
+    )
+    kpos = (
+        kv_positions if kv_positions is not None
+        else jnp.broadcast_to(jnp.arange(skv), (b, skv))
+    )
+    mask = kpos[:, None, :] <= qpos[:, :, None]
+    if kv_valid_len is not None:
+        mask = jnp.logical_and(
+            mask, jnp.arange(skv)[None, None, :] < kv_valid_len[:, None, None]
+        )
+    logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    vs = jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
+    probs_scaled = (probs * vs).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs_scaled, v_q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

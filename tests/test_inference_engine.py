@@ -153,3 +153,20 @@ def test_stop_tokens_and_logprobs(engine):
     assert len(res.logprobs) == len(res.token_ids)
     # no stop token in the output
     assert all(t not in set(nl) for t in res.token_ids)
+
+
+def test_kv_quant_engine_close_to_fp(engine):
+    """int8 KV cache generation tracks the fp cache closely (greedy)."""
+    import numpy as np
+
+    quant = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=64,
+        cache_dtype=jnp.float32, kv_quant=True,
+    )
+    msgs = [{"role": "user", "content": "tell me about quantization"}]
+    a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=8))
+    b = quant.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=8))
+    # int8 noise can flip low-margin tokens on a RANDOM model; require the
+    # first tokens to match (real checkpoints have far larger margins)
+    assert a.token_ids[:2] == b.token_ids[:2]
