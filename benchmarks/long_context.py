@@ -30,6 +30,7 @@ def main():
     parser.add_argument("--layers", type=int, default=4)
     parser.add_argument("--chunk", type=int, default=8192)
     parser.add_argument("--decode-steps", type=int, default=16)
+    parser.add_argument("--kv-quant", action="store_true")
     args = parser.parse_args()
 
     from long_vita_tpu.config import TextConfig
@@ -84,7 +85,9 @@ def main():
         rng.standard_normal((1, args.seq, cfg.hidden_size)) * 0.02,
         jnp.bfloat16,
     )
-    cache = KVCache.zeros(cfg, 1, args.seq + 256, jnp.bfloat16)
+    cache = KVCache.zeros(
+        cfg, 1, args.seq + 256, jnp.bfloat16, quantize=args.kv_quant
+    )
 
     t0 = time.time()
     cache2, s = prefill_all(params, embeds, cache)
@@ -92,7 +95,9 @@ def main():
     t_compile = time.time() - t0
     log(f"prefill compile+first: {t_compile:.1f}s")
 
-    cache = KVCache.zeros(cfg, 1, args.seq + 256, jnp.bfloat16)
+    cache = KVCache.zeros(
+        cfg, 1, args.seq + 256, jnp.bfloat16, quantize=args.kv_quant
+    )
     t0 = time.time()
     cache2, s = prefill_all(params, embeds, cache)
     _ = jax.device_get(s)
