@@ -47,6 +47,15 @@ class ParallelConfig:
     axis_tp: str = "tp"
     cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (head a2a) | "hybrid"
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
+    axis_pp: str = "pp"
+    microbatches: int = 0  # pipeline microbatches (0 -> pp size)
+
+    @property
+    def pp_size(self) -> int:
+        try:
+            return self.mesh.shape.get(self.axis_pp, 1)
+        except Exception:
+            return 1
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -408,6 +417,12 @@ def qwen2_decoder(
             k=nk, v=nv, length=kv_cache.length + inputs_embeds.shape[1],
             k_scale=nks, v_scale=nvs,
         )
+    elif parallel is not None and parallel.pp_size > 1:
+        hidden = _pipelined_decoder(
+            layers, inputs_embeds, cos, sin, cfg, position_ids,
+            segment_ids, attn_impl, parallel, remat,
+        )
+        new_cache = None
     else:
         def body(x, layer):
             x, _ = decoder_layer(
@@ -425,6 +440,66 @@ def qwen2_decoder(
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache
+
+
+def _pipelined_decoder(
+    layers, inputs_embeds, cos, sin, cfg, position_ids, segment_ids,
+    attn_impl, parallel, remat,
+):
+    """GPipe pipeline over the pp axis (parallel/pipeline.py): layer stack
+    sharded by stage, batch split into microbatches; cos/sin/positions
+    travel the ring with the activations. Composes with TP via
+    partial-manual shard_map (other mesh axes stay GSPMD-auto).
+
+    Constraint: CP and PP are mutually exclusive (the 72B TP8/PP8 recipes
+    run cp=1)."""
+    from jax.sharding import PartitionSpec as P
+
+    from long_vita_tpu.parallel.pipeline import pipeline_apply
+
+    pp = parallel.pp_size
+    m = parallel.microbatches or pp
+    b = inputs_embeds.shape[0]
+    assert b % m == 0, f"batch {b} not divisible by microbatches {m}"
+
+    def split(x):
+        return x.reshape(m, b // m, *x.shape[1:]) if x is not None else None
+
+    mb = {
+        "x": split(inputs_embeds),
+        "cos": split(cos),
+        "sin": split(sin),
+        "pos": split(position_ids),
+    }
+    if segment_ids is not None:
+        mb["seg"] = split(segment_ids)
+
+    def stage_body(stage_layers, t):
+        def layer_body(x, layer):
+            x, _ = decoder_layer(
+                layer, x, t["cos"], t["sin"], cfg, None, None,
+                t["pos"], t.get("seg"), attn_impl, None,
+            )
+            return x, None
+
+        if remat:
+            layer_body = jax.checkpoint(
+                layer_body, policy=jax.checkpoint_policies.nothing_saveable
+            )
+        x, _ = jax.lax.scan(layer_body, t["x"], stage_layers)
+        return {**t, "x": x}
+
+    layer_specs = jax.tree.map(lambda _: P(parallel.axis_pp), layers)
+    mb_specs = jax.tree.map(lambda _: P(), mb)
+    fn = jax.shard_map(
+        lambda ls, mb_: pipeline_apply(ls, mb_, stage_body, parallel.axis_pp),
+        mesh=parallel.mesh,
+        in_specs=(layer_specs, mb_specs),
+        out_specs=mb_specs,
+        axis_names={parallel.axis_pp},
+    )
+    out = fn(layers, mb)
+    return out["x"].reshape(b, *inputs_embeds.shape[1:])
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:

@@ -30,20 +30,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS_DP = "dp"
+AXIS_PP = "pp"
 AXIS_CP = "cp"
 AXIS_TP = "tp"
-AXES = (AXIS_DP, AXIS_CP, AXIS_TP)
+AXES = (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP)
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     dp: int = 1
+    pp: int = 1
     cp: int = 1
     tp: int = 1
 
     @property
     def size(self) -> int:
-        return self.dp * self.cp * self.tp
+        return self.dp * self.pp * self.cp * self.tp
 
 
 def make_mesh(
@@ -64,7 +66,7 @@ def make_mesh(
         raise ValueError(
             f"mesh {cfg} needs {cfg.size} devices, have {len(devices)}"
         )
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.cp, cfg.tp)
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.pp, cfg.cp, cfg.tp)
     return Mesh(arr, AXES)
 
 

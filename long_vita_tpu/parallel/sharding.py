@@ -30,15 +30,26 @@ from long_vita_tpu.parallel.mesh import AXIS_CP, AXIS_DP, AXIS_TP
 Params = dict[str, Any]
 
 
-def text_param_specs(fsdp: bool = False) -> Params:
+def text_param_specs(fsdp: bool = False, pp: bool = False) -> Params:
     """PartitionSpecs matching the pytree of models/qwen2.py params.
 
     fsdp=True additionally shards the stacked layer dim [L, ...] over dp:
     the decoder's lax.scan then all-gathers one layer's weights per step
     (classic FSDP weight streaming — replaces the reference's
     --use-distributed-optimizer, which only shards optimizer state).
+    pp=True shards the layer dim over the pipeline axis (each stage holds
+    its layers); combine with fsdp to shard each stage's slice over dp too.
     """
-    ldim = AXIS_DP if fsdp else None
+    from long_vita_tpu.parallel.mesh import AXIS_PP
+
+    if pp and fsdp:
+        ldim = (AXIS_PP, AXIS_DP)
+    elif pp:
+        ldim = AXIS_PP
+    elif fsdp:
+        ldim = AXIS_DP
+    else:
+        ldim = None
     col = P(ldim, None, AXIS_TP)  # [L@dp?, in, out@tp]
     row = P(ldim, AXIS_TP, None)  # [L@dp?, in@tp, out]
     bias_col = P(ldim, AXIS_TP)
@@ -68,19 +79,23 @@ def _replicate_like(tree: Params) -> Params:
     return jax.tree.map(lambda _: P(), tree)
 
 
-def long_vita_param_specs(params: Params, fsdp: bool = False) -> Params:
+def long_vita_param_specs(
+    params: Params, fsdp: bool = False, pp: bool = False
+) -> Params:
     """Specs for the full VLM param pytree (vision/projector replicated —
     the 300M tower is cheaper gathered than streamed)."""
-    specs: Params = {"text": text_param_specs(fsdp)}
+    specs: Params = {"text": text_param_specs(fsdp, pp)}
     if "vision" in params:
         specs["vision"] = _replicate_like(params["vision"])
         specs["projector"] = _replicate_like(params["projector"])
     return specs
 
 
-def shard_params(params: Params, mesh: Mesh, fsdp: bool = False) -> Params:
+def shard_params(
+    params: Params, mesh: Mesh, fsdp: bool = False, pp: bool = False
+) -> Params:
     """Place a param pytree onto the mesh according to the rules above."""
-    specs = long_vita_param_specs(params, fsdp)
+    specs = long_vita_param_specs(params, fsdp, pp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

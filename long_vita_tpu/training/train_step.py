@@ -85,10 +85,13 @@ def make_train_step(
 ):
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
+    pp = mesh.shape.get("pp", 1) if mesh is not None else 1
     parallel = (
         ParallelConfig(mesh, cp_algo=cp_algo, cp_inner=cp_inner)
-        if (mesh is not None and use_ring) else None
+        if (mesh is not None and (use_ring or pp > 1)) else None
     )
+    if parallel is not None and pp > 1:
+        assert mesh.shape.get("cp", 1) == 1, "PP and CP are mutually exclusive"
 
     def train_step(state: TrainState, batch):
         if mesh is not None:
@@ -122,7 +125,8 @@ def init_train_state(
     mesh: Optional[Mesh] = None, fsdp: bool = False,
 ) -> TrainState:
     if mesh is not None:
-        specs = long_vita_param_specs(params, fsdp)
+        pp = mesh.shape.get("pp", 1) > 1
+        specs = long_vita_param_specs(params, fsdp, pp)
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
         )

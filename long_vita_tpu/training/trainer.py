@@ -141,7 +141,7 @@ class Trainer:
                 self.start_step = step
         self.step_fn = make_train_step(
             cfg, self.tx, self.mesh,
-            use_ring=tcfg.mesh.cp > 1,
+            use_ring=tcfg.mesh.cp > 1 or tcfg.mesh.pp > 1,
             cp_algo=tcfg.cp_algo,
             cp_inner=tcfg.cp_inner,
             remat=tcfg.remat,

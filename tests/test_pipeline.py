@@ -71,3 +71,33 @@ def test_pipeline_grad():
     )(weights)
     np.testing.assert_allclose(np.asarray(g_pipe), np.asarray(g_seq),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_decoder_pipeline_matches_plain():
+    """PP decoder (pp=4, microbatches=4) == plain scan decoder."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from long_vita_tpu.config import tiny_test_config
+    from long_vita_tpu.models import qwen2
+    from long_vita_tpu.models.qwen2 import ParallelConfig
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    cfg = tiny_test_config().text  # 2 layers... need divisible by pp
+    import dataclasses
+    cfg = dataclasses.replace(cfg, num_hidden_layers=4)
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b, s = 4, 16
+    embeds = jnp.asarray(rng.standard_normal((b, s, cfg.hidden_size)),
+                         jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+
+    want, _ = qwen2.qwen2_decoder(params, embeds, pos, cfg, attn_impl="xla")
+
+    mesh = make_mesh(MeshConfig(pp=4), devices=jax.devices()[:4])
+    parallel = ParallelConfig(mesh, microbatches=4)
+    got, _ = qwen2.qwen2_decoder(
+        params, embeds, pos, cfg, attn_impl="xla", parallel=parallel
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -161,3 +161,21 @@ def test_fsdp_matches_replicated(mm):
     a = one_step(False)
     b = one_step(True)
     assert abs(a - b) < 1e-4, (a, b)
+
+
+def test_train_step_with_pipeline_parallel(mm):
+    """One train step on a pp=4 x tp=2 mesh (72B-recipe shape, tiny model)."""
+    import dataclasses as dc
+
+    base = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
+    cfg = dc.replace(base, text=dc.replace(base.text, num_hidden_layers=4))
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tcfg = TrainerConfig(
+        seq_len=128, logit_budget=32, global_batch=4, steps=1,
+        mesh=MeshConfig(dp=1, pp=4, cp=1, tp=2),
+        optim=OptimizerConfig(lr=1e-3, total_steps=1, freeze_vision=True),
+        remat=False,
+    )
+    trainer = Trainer(params, cfg, tcfg)
+    result = trainer.train(_pipeline(mm, tcfg))
+    assert np.isfinite(result["losses"][0])
