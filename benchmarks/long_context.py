@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--chunk", type=int, default=8192)
     parser.add_argument("--decode-steps", type=int, default=16)
     parser.add_argument("--kv-quant", action="store_true")
+    parser.add_argument("--from-ids", action="store_true",
+                        help="embed per chunk inside the scan (1M-scale: "
+                             "the full [1,S,H] embeds never materialize)")
     args = parser.parse_args()
 
     from long_vita_tpu.config import TextConfig
@@ -49,14 +52,19 @@ def main():
     rng = np.random.default_rng(0)
 
     @jax.jit
-    def prefill_all(params, embeds, cache):
+    def prefill_all(params, embeds_or_ids, cache):
         """All chunks in one compiled program (scan over chunks)."""
-        n_chunks = embeds.shape[1] // args.chunk
+        n_chunks = embeds_or_ids.shape[1] // args.chunk
 
         def body(cache, chunk_idx):
             chunk = jax.lax.dynamic_slice_in_dim(
-                embeds, chunk_idx * args.chunk, args.chunk, axis=1
+                embeds_or_ids, chunk_idx * args.chunk, args.chunk, axis=1
             )
+            if args.from_ids:
+                chunk = qwen2.embed_tokens(
+                    {"embed": {"embedding": params["embed"]["embedding"]}},
+                    chunk,
+                )
             positions = chunk_idx * args.chunk + jnp.arange(args.chunk)[None]
             hidden, cache = qwen2.qwen2_decoder(
                 params, chunk, positions, cfg, kv_cache=cache
@@ -81,10 +89,15 @@ def main():
         )
         return jnp.sum(last.astype(jnp.float32)) + 0 * n_sum
 
-    embeds = jnp.asarray(
-        rng.standard_normal((1, args.seq, cfg.hidden_size)) * 0.02,
-        jnp.bfloat16,
-    )
+    if args.from_ids:
+        embeds = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, size=(1, args.seq)), jnp.int32
+        )
+    else:
+        embeds = jnp.asarray(
+            rng.standard_normal((1, args.seq, cfg.hidden_size)) * 0.02,
+            jnp.bfloat16,
+        )
     cache = KVCache.zeros(
         cfg, 1, args.seq + 256, jnp.bfloat16, quantize=args.kv_quant
     )

@@ -243,7 +243,12 @@ def make_data_pipeline(
         samples, supervision, tcfg.seq_len, pad_token_id,
         cross_dataset_joint=cross_dataset_joint, report=report,
     )
-    return batch_iterator(
-        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
-        tcfg.cp_algo, tcfg.cp_inner,
+    from long_vita_tpu.data.prefetch import prefetch
+
+    return prefetch(
+        batch_iterator(
+            iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
+            tcfg.cp_algo, tcfg.cp_inner,
+        ),
+        depth=2,
     )

@@ -164,3 +164,20 @@ def test_cross_dataset_joint_packing(mm):
     )
     assert total_real > 0
     assert all(p.tokens.shape == (96,) for p in packs)
+
+
+def test_prefetch_iterator():
+    from long_vita_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest as _pytest
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with _pytest.raises(ValueError):
+        list(it)
