@@ -54,6 +54,7 @@ class ImageProcessor:
         std: Sequence[float] = IMAGENET_DEFAULT_STD,
         min_patch_grid: int = 1,
         max_patch_grid: int = 12,
+        process_type: str = "dynamic",  # "dynamic" | "anyres"
     ):
         self.image_size = image_size
         self.patch_size = image_size  # tile side, reference naming
@@ -61,6 +62,15 @@ class ImageProcessor:
         self.std = np.asarray(std, np.float32)
         self.min_patch_grid = min_patch_grid
         self.max_patch_grid = max_patch_grid
+        self.process_type = process_type
+        # anyres candidate canvases (reference image_processor.py:33-57
+        # builds possible_resolutions from the patch grid range)
+        self.possible_resolutions = [
+            (image_size * i, image_size * j)
+            for i in range(1, max_patch_grid + 1)
+            for j in range(1, max_patch_grid + 1)
+            if min_patch_grid <= i * j <= max_patch_grid
+        ]
 
     # -- single-tile path ---------------------------------------------------
 
@@ -165,8 +175,57 @@ class ImageProcessor:
             crops = [image.resize((self.image_size, self.image_size))] + crops
         return self.process_images(crops), (tw, th)
 
-    # alias kept for reference-API parity
+    # -- anyres tiling (reference process_anyres:239-261) -------------------
+
+    @staticmethod
+    def _select_best_resolution(original_size, possible_resolutions):
+        """Best canvas by max effective then min wasted resolution
+        (reference select_best_resolution:286-313)."""
+        ow, oh = original_size
+        best, best_eff, best_waste = None, 0, float("inf")
+        for w, h in possible_resolutions:
+            scale = min(w / ow, h / oh)
+            eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+            waste = w * h - eff
+            if eff > best_eff or (eff == best_eff and waste < best_waste):
+                best, best_eff, best_waste = (w, h), eff, waste
+        return best
+
+    def process_anyres(self, img: ImageLike):
+        """-> (tiles [N,448,448,3], (canvas_w, canvas_h)).
+
+        Tiles: [full image, row-major crops of the aspect-preserving
+        resize-and-pad canvas] (reference :252-257 keeps the whole image
+        FIRST, then the canvas patches)."""
+        image = _to_pil(img)
+        best = self._select_best_resolution(
+            image.size, self.possible_resolutions
+        )
+        tw, th = best
+        # resize preserving aspect, centered on a black canvas (:301-330)
+        scale = min(tw / image.size[0], th / image.size[1])
+        nw = min(int(np.ceil(image.size[0] * scale)), tw)
+        nh = min(int(np.ceil(image.size[1] * scale)), th)
+        canvas = Image.new("RGB", (tw, th), (0, 0, 0))
+        canvas.paste(
+            image.resize((nw, nh)), ((tw - nw) // 2, (th - nh) // 2)
+        )
+        crops = []
+        for y0 in range(0, th, self.image_size):
+            for x0 in range(0, tw, self.image_size):
+                crops.append(canvas.crop(
+                    (x0, y0, x0 + self.image_size, y0 + self.image_size)
+                ))
+        if best == (self.image_size, self.image_size):
+            tiles = [image]
+        else:
+            tiles = [image] + crops
+        return self.process_images(tiles), best
+
+    # dispatch kept for reference-API parity
     def process_images_with_subpatch(self, img: ImageLike):
+        if self.process_type == "anyres":
+            return self.process_anyres(img)
         return self.process_dynamic(img)
 
     # -- video --------------------------------------------------------------

@@ -103,3 +103,18 @@ def test_mixed_image_and_video(mm):
     ids_arr = np.asarray(out.input_ids)
     pointed = ids_arr[out.image_indices[1].reshape(-1)]
     assert set(pointed.tolist()) == {mm.img_ctx, mm.vid_ctx}
+
+
+def test_anyres_tiling():
+    proc = ImageProcessor(process_type="anyres", max_patch_grid=6)
+    wide = Image.new("RGB", (1000, 450))
+    tiles, (cw, ch) = proc.process_anyres(wide)
+    assert cw % 448 == 0 and ch % 448 == 0
+    n_crops = (cw // 448) * (ch // 448)
+    assert tiles.shape[0] == n_crops + 1  # full image first
+    # square small image -> single tile
+    tiles, best = proc.process_anyres(Image.new("RGB", (100, 100)))
+    assert tiles.shape[0] == 1 and best == (448, 448)
+    # dispatcher respects process_type
+    t2, _ = proc.process_images_with_subpatch(wide)
+    assert t2.shape == tiles.shape or t2.shape[0] == n_crops + 1
