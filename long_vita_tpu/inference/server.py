@@ -96,7 +96,7 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
             self._reply(400, err, "text/plain")
             return
 
-        prompt = req["prompts"][0]
+        prompts = req["prompts"]
         images = list(req.get("image_path_list") or [])
         if req.get("image_list"):
             from PIL import Image
@@ -127,20 +127,22 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
             return_logprobs=bool(req.get("logprobs", False)),
         )
         try:
+            results = []
             with self.server.generate_lock:
-                result = self.engine.generate(
-                    [{"role": "user", "content": prompt}],
-                    images=images,
-                    videos=videos,
-                    sampling=sampling,
-                    seed=max(int(req.get("random_seed", 0)), 0),
-                )
+                for prompt in prompts:
+                    results.append(self.engine.generate(
+                        [{"role": "user", "content": prompt}],
+                        images=images,
+                        videos=videos,
+                        sampling=sampling,
+                        seed=max(int(req.get("random_seed", 0)), 0),
+                    ))
         except Exception as e:  # noqa: BLE001 — surface as 400 like reference
             self._reply(400, str(e), "text/plain")
             return
-        payload = {"text": [result.text]}
+        payload = {"text": [r.text for r in results]}
         if sampling.return_logprobs:
-            payload["logprobs"] = [result.logprobs]
+            payload["logprobs"] = [r.logprobs for r in results]
         self._reply(200, json.dumps(payload))
 
 
