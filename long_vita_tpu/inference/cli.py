@@ -56,6 +56,8 @@ def main(argv=None):
     parser.add_argument("--image", action="append", default=[])
     parser.add_argument("--video", action="append", default=[])
     parser.add_argument("--max-new-tokens", type=int, default=256)
+    parser.add_argument("--beam-size", type=int, default=0,
+                        help="use beam search with this width")
     parser.add_argument("--max-seq-len", type=int, default=16384)
     parser.add_argument("--chunk", type=int, default=2048)
     parser.add_argument("--max-num-frame", type=int, default=4096)
@@ -122,6 +124,24 @@ def main(argv=None):
     if args.prompt is None:
         parser.error("--prompt required unless --serve/--chat")
 
+    messages = [{"role": "user", "content": args.prompt}]
+    if args.beam_size > 0:
+        from long_vita_tpu.inference.beam_search import beam_search
+
+        ids = engine.mm.encode_chat(messages)
+        expanded = engine.mm.expand(
+            ids, images=args.image, videos=args.video
+        )
+        hyps = beam_search(
+            engine, expanded.input_ids,
+            images=expanded.images, image_indices=expanded.image_indices,
+            beam_size=args.beam_size, max_new_tokens=args.max_new_tokens,
+        )
+        print(engine.mm.tokenizer.decode(
+            hyps[0].token_ids, skip_special_tokens=True
+        ))
+        return
+
     from long_vita_tpu.inference.sampler import SamplingParams
 
     sampling = SamplingParams(
@@ -130,7 +150,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens,
     )
     result = engine.generate(
-        [{"role": "user", "content": args.prompt}],
+        messages,
         images=args.image, videos=args.video, sampling=sampling,
     )
     print(result.text)
