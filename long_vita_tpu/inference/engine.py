@@ -95,6 +95,10 @@ class InferenceEngine:
             self._decode_scan_impl, static_argnames=("sp", "n")
         )
         self._encode_images = jax.jit(self._encode_images_impl)
+        self._last_row = jax.jit(self._last_row_impl)
+        self._head_sample = jax.jit(
+            self._head_sample_impl, static_argnames=("sp",)
+        )
 
     def _make_cache(self, batch: int, max_len: int) -> KVCache:
         cache = KVCache.zeros(
@@ -161,6 +165,19 @@ class InferenceEngine:
             parallel=self.parallel,
         )
         return hidden[:, -1], cache  # last row hidden (pre-head)
+
+    def _last_row_impl(self, params, token, pos, cache):
+        """Decode-style pass of the final real prompt token (no sampling)."""
+        embeds = qwen2.embed_tokens(params["text"], token)
+        hidden, cache = qwen2.qwen2_decoder(
+            params["text"], embeds, pos, self.cfg.text, kv_cache=cache,
+            parallel=self.parallel,
+        )
+        return hidden[:, -1], cache
+
+    def _head_sample_impl(self, params, hidden, rng, sp):
+        logits = qwen2.lm_head(params["text"], hidden)
+        return sample(logits, rng, sp)
 
     def _decode_step_impl(self, params, token, pos, cache, rng, sp):
         embeds = qwen2.embed_tokens(params["text"], token)
@@ -259,19 +276,12 @@ class InferenceEngine:
                 cache.k, cache.v, jnp.asarray(true_len - 1, jnp.int32),
                 k_scale=cache.k_scale, v_scale=cache.v_scale,
             )
+            # (the chat template always ends with a text token, so no
+            # image-feature merge is needed for this single row)
             tok = ids[:, true_len - 1 : true_len]
-            embeds1 = qwen2.embed_tokens(self.params["text"], tok)
-            if images is not None and images.shape[0] > 0:
-                # last prompt token could be a context token in principle;
-                # the chat template always ends with text, so skip merge.
-                pass
-            hidden, cache = qwen2.qwen2_decoder(
-                self.params["text"], embeds1,
-                jnp.full((1, 1), true_len - 1),
-                self.cfg.text, kv_cache=cache_minus,
-                parallel=self.parallel,
+            last_hidden, cache = self._last_row(
+                self.params, tok, jnp.full((1, 1), true_len - 1), cache_minus
             )
-            last_hidden = hidden[:, -1]
         return cache, last_hidden, true_len
 
     def generate(
@@ -292,11 +302,9 @@ class InferenceEngine:
         cache, last_hidden, true_len = self.prefill(
             expanded.input_ids, expanded.images, expanded.image_indices
         )
-        logits = qwen2.lm_head(self.params["text"], last_hidden)
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
-        token = sample(logits, sub, sampling)[None]  # [1, 1]... [B]->[1,B]?
-
+        token = self._head_sample(self.params, last_hidden, sub, sampling)
         token = token.reshape(1, 1)
         out_tokens = [int(token[0, 0])]
         pos = true_len
