@@ -100,12 +100,14 @@ def flatten_to_hf(params: Params, cfg: LongVITAConfig) -> dict[str, np.ndarray]:
 
 
 def save_hf_checkpoint(
-    params: Params, cfg: LongVITAConfig, out_dir: str
+    params: Params, cfg: LongVITAConfig, out_dir: str, tokenizer=None
 ) -> None:
-    """Write sharded safetensors + index + config.json."""
+    """Write sharded safetensors + index + config.json (+ tokenizer)."""
     from safetensors.numpy import save_file
 
     os.makedirs(out_dir, exist_ok=True)
+    if tokenizer is not None:
+        tokenizer.save_pretrained(out_dir)
     sd = flatten_to_hf(params, cfg)
 
     # shard by size
