@@ -118,3 +118,18 @@ def test_anyres_tiling():
     # dispatcher respects process_type
     t2, _ = proc.process_images_with_subpatch(wide)
     assert t2.shape == tiles.shape or t2.shape[0] == n_crops + 1
+
+
+def test_special_token_ids_match_reference_runtime():
+    """Production loader: Qwen built-ins (<=151664) from tokenizer_config,
+    then the 17 multimodal tokens appended at 151665+ exactly as the
+    reference's update_tokenizer assigns them at runtime."""
+    from long_vita_tpu.tokenizer import SPECIAL_TOKENS, load_tokenizer
+
+    tok = load_tokenizer(REF_TOK)
+    assert tok.convert_tokens_to_ids("<|im_start|>") == 151644
+    assert tok.convert_tokens_to_ids("<|im_end|>") == 151645
+    ids = [tok.convert_tokens_to_ids(t) for t in SPECIAL_TOKENS]
+    assert ids == list(range(151665, 151665 + len(SPECIAL_TOKENS))), ids
+    # within the released embedding table (vocab_size 152064)
+    assert max(ids) < 152064
