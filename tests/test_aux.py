@@ -94,3 +94,23 @@ def test_metrics_logger(tmp_path):
 
     # 14B at 1000 tok/s/chip on v5p ~ 6*14e9*1000/4.59e14 = 18% MFU
     assert 0.15 < mfu(1000, 14e9, 4.59e14) < 0.2
+
+
+def test_simple_eval(tmp_path, engine):
+    import json as _json
+
+    from long_vita_tpu.eval.simple_eval import run_eval, score
+
+    assert score("Answer: Yes", "yes") == {"exact": True, "contains": True}
+    assert score("The answer is yes.", "yes")["contains"]
+
+    data = tmp_path / "qa.jsonl"
+    data.write_text(
+        _json.dumps({"prompt": "say hi", "answer": "whatever"}) + "\n"
+    )
+    out = run_eval(
+        str(data), engine=engine, max_new_tokens=4,
+        out_path=str(tmp_path / "res.jsonl"),
+    )
+    assert out["summary"]["n"] == 1
+    assert (tmp_path / "res.jsonl").exists()
