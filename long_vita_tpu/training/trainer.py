@@ -148,6 +148,38 @@ class Trainer:
             vision_chunk=tcfg.vision_chunk,
         )
 
+    def evaluate(self, batches: Iterator[dict], max_steps: int = 0) -> dict:
+        """Mean loss over a validation stream (reference valid datasets)."""
+        import jax
+
+        from long_vita_tpu.models.qwen2 import ParallelConfig
+        from long_vita_tpu.training.train_step import loss_fn
+
+        parallel = (
+            ParallelConfig(self.mesh, cp_algo=self.tcfg.cp_algo,
+                           cp_inner=self.tcfg.cp_inner)
+            if (self.mesh is not None and
+                (self.tcfg.mesh.cp > 1 or self.tcfg.mesh.pp > 1))
+            else None
+        )
+        eval_fn = jax.jit(
+            lambda p, b: loss_fn(
+                p, b, self.cfg, parallel, False, self.tcfg.vision_chunk
+            )
+        )
+        total, count = 0.0, 0.0
+        for step, batch in enumerate(batches):
+            if max_steps and step >= max_steps:
+                break
+            batch = {
+                k: (jnp.asarray(v) if v is not None else None)
+                for k, v in batch.items()
+            }
+            loss, tokens = eval_fn(self.state.params, batch)
+            total += float(loss) * float(tokens)
+            count += float(tokens)
+        return {"loss": total / max(count, 1.0), "tokens": count}
+
     def train(self, batches: Iterator[dict], tokenizer=None) -> dict:
         tcfg = self.tcfg
         history = []

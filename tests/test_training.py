@@ -179,3 +179,37 @@ def test_train_step_with_pipeline_parallel(mm):
     trainer = Trainer(params, cfg, tcfg)
     result = trainer.train(_pipeline(mm, tcfg))
     assert np.isfinite(result["losses"][0])
+
+
+def test_evaluate_loop(mm):
+    cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tcfg = TrainerConfig(seq_len=128, logit_budget=32, global_batch=1,
+                         steps=1, mesh=MeshConfig(), remat=False)
+    trainer = Trainer(params, cfg, tcfg)
+    out = trainer.evaluate(_pipeline(mm, tcfg), max_steps=2)
+    assert np.isfinite(out["loss"]) and out["tokens"] > 0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, mm):
+    """orbax save/restore of a dp2cp2tp2-sharded train state."""
+    from long_vita_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from long_vita_tpu.training.optimizer import make_optimizer
+    from long_vita_tpu.parallel.mesh import make_mesh
+    from long_vita_tpu.training.train_step import init_train_state
+
+    cfg = tiny_test_config(vocab_size=512)
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    mesh = make_mesh(MeshConfig(dp=2, cp=2, tp=2))
+    tx = make_optimizer(params, OptimizerConfig(lr=1e-3, total_steps=2))
+    state = init_train_state(params, tx, mesh)
+    save_checkpoint(str(tmp_path / "ck"), state, step=3)
+
+    fresh = init_train_state(
+        jax.tree.map(lambda x: np.zeros_like(x), params), tx, mesh
+    )
+    restored = load_checkpoint(str(tmp_path / "ck"), fresh)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["text"]["final_norm"]),
+        np.asarray(state.params["text"]["final_norm"]),
+    )
