@@ -23,6 +23,7 @@ def build_engine(
     dtype_name: str = "bfloat16",
     tp: int = 1,
     cp: int = 1,
+    kv_quant: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -45,7 +46,7 @@ def build_engine(
         )
     return InferenceEngine(
         params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
-        cache_dtype=dtype, mesh=mesh,
+        cache_dtype=dtype, mesh=mesh, kv_quant=kv_quant,
     )
 
 
@@ -71,6 +72,8 @@ def main(argv=None):
     parser.add_argument("--cp", type=int, default=1,
                         help="context-parallel ways (KV cache sharded by "
                              "sequence; 1M-token serving)")
+    parser.add_argument("--kv-quant", action="store_true",
+                        help="int8 KV cache (half the memory/bandwidth)")
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--chat", action="store_true",
                         help="interactive multi-turn chat REPL")
@@ -81,7 +84,7 @@ def main(argv=None):
     engine = build_engine(
         args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
         max_num_frame=args.max_num_frame, dtype_name=args.dtype, tp=args.tp,
-        cp=args.cp,
+        cp=args.cp, kv_quant=args.kv_quant,
     )
 
     if args.serve:
