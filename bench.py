@@ -44,6 +44,10 @@ def chip_peak_tflops() -> float:
 
 
 def main():
+    from long_vita_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
     from long_vita_tpu.config import LongVITAConfig, TextConfig
     from long_vita_tpu.models.qwen2 import init_qwen2_params, qwen2_decoder
 

@@ -51,6 +51,9 @@ def build_engine(
 
 
 def main(argv=None):
+    from long_vita_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     parser = argparse.ArgumentParser(description="Long-VITA TPU inference")
     parser.add_argument("model_path")
     parser.add_argument("--prompt", default=None)

@@ -99,6 +99,9 @@ def build_from_recipe(recipe: dict):
 
 
 def main(argv=None):
+    from long_vita_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
