@@ -77,3 +77,48 @@ def test_text_only_logits_match(pair):
         params, jnp.asarray(ids), pos, cfg, attn_impl="xla"
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_greedy_generation_matches_reference(pair):
+    """5-token greedy rollout: our engine (chunked prefill + KV cache +
+    fused decode scan) vs the reference model re-forwarded per step."""
+    ref, params, cfg = pair
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, cfg.text.vocab_size, size=(1, 11))
+
+    # reference rollout (no cache: full forward each step)
+    ids = torch.tensor(prompt)
+    want = []
+    with torch.no_grad():
+        for _ in range(5):
+            logits = ref(input_ids=ids, use_cache=False).logits
+            nxt = int(torch.argmax(logits[0, -1]))
+            want.append(nxt)
+            ids = torch.cat([ids, torch.tensor([[nxt]])], dim=1)
+
+    # our engine
+    from long_vita_tpu.data.image_processor import ImageProcessor
+    from long_vita_tpu.data.multimodal import MultimodalTokenizer
+    from long_vita_tpu.inference.engine import InferenceEngine
+    from long_vita_tpu.inference.sampler import SamplingParams
+
+    import transformers
+
+    tok = transformers.Qwen2Tokenizer(
+        vocab_file="/root/reference/long_vita/models/long_vita_qwen2_intern/vocab.json",
+        merges_file="/root/reference/long_vita/models/long_vita_qwen2_intern/merges.txt",
+    )
+    mm = MultimodalTokenizer(
+        tok, image_processor=ImageProcessor(image_size=56),
+        image_token_length=cfg.image_token_length,
+    )
+    engine = InferenceEngine(
+        params, cfg, mm, max_seq_len=64, chunk=8, cache_dtype=jnp.float32
+    )
+    res = engine.generate(
+        input_ids=prompt[0].tolist(),
+        sampling=SamplingParams(greedy=True, max_new_tokens=5),
+    )
+    got = res.token_ids[:5]
+    # eos may truncate the reference rollout equivalently
+    assert got == want[: len(got)] and len(got) >= 1, (got, want)
