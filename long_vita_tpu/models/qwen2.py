@@ -432,14 +432,22 @@ def qwen2_decoder(
             return x, None
 
         if remat:
-            body = jax.checkpoint(
-                body, policy=jax.checkpoint_policies.nothing_saveable
-            )
+            body = jax.checkpoint(body, policy=_remat_policy(remat))
         hidden, _ = jax.lax.scan(body, inputs_embeds, layers)
         new_cache = None
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_cache
+
+
+def _remat_policy(remat):
+    """Rematerialization level (reference --recompute-* flags):
+    True/"full" = recompute everything (stage-4: full recompute of 48
+    layers); "dots" = keep matmul outputs (cheaper recompute for the
+    shorter-context stages)."""
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return jax.checkpoint_policies.nothing_saveable
 
 
 def _pipelined_decoder(
@@ -483,9 +491,7 @@ def _pipelined_decoder(
             return x, None
 
         if remat:
-            layer_body = jax.checkpoint(
-                layer_body, policy=jax.checkpoint_policies.nothing_saveable
-            )
+            layer_body = jax.checkpoint(layer_body, policy=_remat_policy(remat))
         x, _ = jax.lax.scan(layer_body, t["x"], stage_layers)
         return {**t, "x": x}
 

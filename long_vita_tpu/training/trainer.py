@@ -58,7 +58,7 @@ class TrainerConfig:
     save_dir: Optional[str] = None
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optim: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
-    remat: bool = True
+    remat: bool | str = True  # True/"full" | "dots" | False
     vision_chunk: int = 256
     seed: int = 42
     cp_algo: str = "ring"  # "ring" | "ulysses" | "hybrid"
