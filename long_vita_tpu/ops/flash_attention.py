@@ -447,9 +447,13 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
     delta = jnp.sum(
         g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )  # [B, Hq, Sq_pad]
+    # the backward holds ~3x the forward's live blocks (p, ds, dk/dv
+    # accumulators); larger-than-512 blocks exceed v5e VMEM
+    bq = min(block_q, 512)
+    bk = min(block_kv, 512)
     dq, dk, dv = _bwd_impl(
         q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
-        causal, block_q, block_kv, true_head_dim,
+        causal, bq, bk, true_head_dim,
     )
     return dq, dk, dv, None, None, None, (None, None)
 
