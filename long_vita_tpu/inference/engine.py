@@ -84,11 +84,6 @@ class InferenceEngine:
                 # sequence-sharded KV cache + shard_map partial-merge
                 # attention (1M serving without recompute-per-token)
                 self.parallel = ParallelConfig(mesh)
-                if kv_quant:
-                    raise NotImplementedError(
-                        "int8 KV cache with cp-sharded serving is not "
-                        "implemented yet — use kv_quant with tp-only meshes"
-                    )
         self.params = params
 
         self._prefill_chunk = jax.jit(self._prefill_chunk_impl)

@@ -198,7 +198,8 @@ def _cp_attention_sharded(
 
 
 def _cp_cached_attention_sharded(
-    q, ck, cv, q_offset, cache_len, parallel: "ParallelConfig"
+    q, ck, cv, q_offset, cache_len, parallel: "ParallelConfig",
+    ks=None, vs=None,
 ):
     """Cached attention with the KV cache sequence-sharded over cp.
 
@@ -213,15 +214,25 @@ def _cp_cached_attention_sharded(
 
     qspec = P(parallel.axis_dp, None, parallel.axis_tp, None)
     cspec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
+    if ks is None:
+        fn = jax.shard_map(
+            lambda q_, k_, v_, qo, cl: cp_cached_attention(
+                q_, k_, v_, qo, cl, parallel.axis_cp
+            ),
+            mesh=parallel.mesh,
+            in_specs=(qspec, cspec, cspec, P(), P()),
+            out_specs=qspec,
+        )
+        return fn(q, ck, cv, q_offset, cache_len)
     fn = jax.shard_map(
-        lambda q_, k_, v_, qo, cl: cp_cached_attention(
-            q_, k_, v_, qo, cl, parallel.axis_cp
+        lambda q_, k_, v_, qo, cl, ks_, vs_: cp_cached_attention(
+            q_, k_, v_, qo, cl, parallel.axis_cp, ks_, vs_
         ),
         mesh=parallel.mesh,
-        in_specs=(qspec, cspec, cspec, P(), P()),
+        in_specs=(qspec, cspec, cspec, P(), P(), cspec, cspec),
         out_specs=qspec,
     )
-    return fn(q, ck, cv, q_offset, cache_len)
+    return fn(q, ck, cv, q_offset, cache_len, ks, vs)
 
 
 def _attention_block(
@@ -290,6 +301,11 @@ def _attention_block(
                     ),
                     kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
                     impl=attn_impl,
+                )
+            elif parallel is not None:
+                out = _cp_cached_attention_sharded(
+                    q, ck, cv, position_ids[0, 0], cache_len + s, parallel,
+                    ks, vs,
                 )
             else:
                 from long_vita_tpu.ops.attention import xla_attention_quant

@@ -64,13 +64,23 @@ def cp_cached_attention(
     q_offset,  # scalar: global position of q[0]
     cache_len,  # scalar: global number of valid cache slots
     axis_name: str = "cp",
+    k_scale=None,  # [B, C, Hkv, 1] int8-cache scales (optional)
+    v_scale=None,
 ) -> jnp.ndarray:
-    """Merge per-shard partials across cp. Must run inside shard_map."""
+    """Merge per-shard partials across cp. Must run inside shard_map.
+
+    With k_scale/v_scale the shards are int8 (models/qwen2.py quantize_kv);
+    dequantization happens shard-locally so only int8 bytes cross HBM."""
     cp = jax.lax.axis_size(axis_name)
     r = jax.lax.axis_index(axis_name)
     c = k_shard.shape[1]
     shard_start = r * c
     valid_len = jnp.clip(cache_len - shard_start, 0, c)
+
+    if k_scale is not None:
+        # shard-local dequant (bf16 copy of ONE shard, 1/cp of the cache)
+        k_shard = (k_shard.astype(jnp.float32) * k_scale).astype(q.dtype)
+        v_shard = (v_shard.astype(jnp.float32) * v_scale).astype(q.dtype)
 
     o, lse = _local_partial(
         q, k_shard, v_shard, q_offset, shard_start, valid_len

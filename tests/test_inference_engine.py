@@ -170,3 +170,22 @@ def test_kv_quant_engine_close_to_fp(engine):
     # int8 noise can flip low-margin tokens on a RANDOM model; require the
     # first tokens to match (real checkpoints have far larger margins)
     assert a.token_ids[:2] == b.token_ids[:2]
+
+
+def test_cp_plus_quant_engine(engine):
+    """cp-sharded int8 cache: first greedy tokens track single-device."""
+    import numpy as np
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(
+        MeshConfig(dp=1, cp=2, tp=2), devices=jax.devices()[:4]
+    )
+    sharded = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=128,
+        cache_dtype=jnp.float32, mesh=mesh, kv_quant=True,
+    )
+    msgs = [{"role": "user", "content": "quantized sharded serving"}]
+    a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
+    b = sharded.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
+    assert a.token_ids[:2] == b.token_ids[:2]
