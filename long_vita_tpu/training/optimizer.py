@@ -39,6 +39,7 @@ class OptimizerConfig:
     freeze_projector: bool = False
     freeze_text: bool = False
     freeze_embed: bool = False
+    moment_dtype: str = "float32"  # "bfloat16" halves Adam m-state memory
 
 
 def _path_str(path) -> str:
@@ -109,9 +110,14 @@ def make_optimizer(
         decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
         end_value=cfg.lr * cfg.min_lr_ratio,
     )
+    import jax.numpy as jnp_
+
+    mu_dtype = {"float32": None, "bfloat16": jnp_.bfloat16}[cfg.moment_dtype]
     chain = [
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),
+        optax.scale_by_adam(
+            b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps, mu_dtype=mu_dtype
+        ),
     ]
     if cfg.weight_decay:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
