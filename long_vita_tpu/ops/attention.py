@@ -212,8 +212,4 @@ def _pick_impl(q, k, causal, kv_valid_len) -> str:
         return "xla"
     if sq < 128 or skv < 128:
         return "xla"  # decode / tiny: bandwidth-bound, XLA is optimal
-    if d < 128 and sq <= 2048:
-        # ViT-shaped (D=64, seq ~1k): the kernel pads D to the 128 lane,
-        # wasting half the MXU; XLA handles D=64 natively and wins.
-        return "xla"
     return "flash"  # wrapper pads ragged seq; kv_valid_len masks the tail
