@@ -631,12 +631,13 @@ def _bwd_pair_pallas(
     """
     b, sq, hq, d = q.shape
     skv = k.shape[1]
-    if sq <= 2048:
-        # short sequences (ViT's 1025): mid-size blocks minimize padding
-        # waste (1025 -> two 576 blocks instead of one 1152 block;
-        # benchmarks/: 13.6 vs 5.6 TFLOP/s at the ViT shape)
+    # short ragged sequences (ViT's 1025): mid-size blocks minimize padding
+    # waste (1025 -> two 576 blocks instead of one 1152 block;
+    # benchmarks/: 13.6 vs 5.6 TFLOP/s at the ViT shape). Aligned sizes
+    # (2048-token prefill chunks) keep the large tuned blocks.
+    if sq <= 2048 and _round_up(sq, 128) % block_q:
         block_q = min(block_q, 576)
-    if skv <= 2048:
+    if skv <= 2048 and _round_up(skv, 128) % block_kv:
         block_kv = min(block_kv, 576)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(skv, 128))
@@ -726,12 +727,13 @@ def flash_attention(
     """
     b, sq, hq, d = q.shape
     skv = k.shape[1]
-    if sq <= 2048:
-        # short sequences (ViT's 1025): mid-size blocks minimize padding
-        # waste (1025 -> two 576 blocks instead of one 1152 block;
-        # benchmarks/: 13.6 vs 5.6 TFLOP/s at the ViT shape)
+    # short ragged sequences (ViT's 1025): mid-size blocks minimize padding
+    # waste (1025 -> two 576 blocks instead of one 1152 block;
+    # benchmarks/: 13.6 vs 5.6 TFLOP/s at the ViT shape). Aligned sizes
+    # (2048-token prefill chunks) keep the large tuned blocks.
+    if sq <= 2048 and _round_up(sq, 128) % block_q:
         block_q = min(block_q, 576)
-    if skv <= 2048:
+    if skv <= 2048 and _round_up(skv, 128) % block_kv:
         block_kv = min(block_kv, 576)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(skv, 128))
