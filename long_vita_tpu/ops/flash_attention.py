@@ -478,14 +478,25 @@ def _bwd_impl(
     have_segs = segs[0] is not None
 
     # ---- dk/dv: grid (B, Hkv, n_kv, group*n_q)
-    def q_index(b_, h, jk, t, *_):
-        return (b_, h * group + t // n_q, jax.lax.rem(t, n_q), 0)
+    def _clamped_iq(jk, t, qo, ko):
+        """Causal: q blocks strictly above the diagonal contribute nothing;
+        clamp their index to the diagonal block so consecutive identical
+        indices elide the DMA (mirror of the forward's kv clamp)."""
+        iq = jax.lax.rem(t, n_q)
+        if not causal:
+            return iq
+        kv_blk_min = ko[0] + jk * block_kv
+        diag = jax.lax.div(kv_blk_min - qo[0], block_q)
+        return jnp.clip(jnp.maximum(iq, diag), 0, n_q - 1)
+
+    def q_index(b_, h, jk, t, qo, ko, klen):
+        return (b_, h * group + t // n_q, _clamped_iq(jk, t, qo, ko), 0)
 
     def kv_index(b_, h, jk, t, *_):
         return (b_, h, jk, 0)
 
-    def lse_index(b_, h, jk, t, *_):
-        return (b_, h * group + t // n_q, jax.lax.rem(t, n_q), 0, 0)
+    def lse_index(b_, h, jk, t, qo, ko, klen):
+        return (b_, h * group + t // n_q, _clamped_iq(jk, t, qo, ko), 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
@@ -499,7 +510,8 @@ def _bwd_impl(
     if have_segs:
         in_specs += [
             pl.BlockSpec(
-                (1, block_q), lambda b_, h, jk, t, *_: (b_, jax.lax.rem(t, n_q))
+                (1, block_q),
+                lambda b_, h, jk, t, qo, ko, klen: (b_, _clamped_iq(jk, t, qo, ko)),
             ),
             pl.BlockSpec((1, block_kv), lambda b_, h, jk, t, *_: (b_, jk)),
         ]
