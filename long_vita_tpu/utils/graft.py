@@ -48,11 +48,15 @@ def graft_checkpoints(
 
     text_fields = {f.name for f in TextConfig.__dataclass_fields__.values()}
     vis_fields = {f.name for f in VisionConfig.__dataclass_fields__.values()}
+    vision = VisionConfig(
+        **{k: v for k, v in vit_cfg.items() if k in vis_fields}
+    )
+    downsample = 0.5
     cfg = LongVITAConfig(
         text=TextConfig(**{k: v for k, v in llm_cfg.items() if k in text_fields}),
-        vision=VisionConfig(
-            **{k: v for k, v in vit_cfg.items() if k in vis_fields}
-        ),
+        vision=vision,
+        vision_downsample_ratio=downsample,
+        image_token_length=int((vision.grid * downsample) ** 2),
     )
 
     llm_idx = SafetensorsIndex(llm_dir)
