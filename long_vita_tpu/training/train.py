@@ -64,14 +64,24 @@ def build_from_recipe(recipe: dict):
     )
 
     from long_vita_tpu.tokenizer import load_tokenizer
-    from long_vita_tpu.utils.checkpoint_io import load_long_vita_checkpoint
 
-    ckpt = model_cfg["checkpoint"]
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         model_cfg.get("dtype", "bfloat16")
     ]
-    params, cfg = load_long_vita_checkpoint(ckpt, dtype=dtype)
-    tokenizer = load_tokenizer(ckpt)
+    if model_cfg.get("graft"):
+        # stage-1 bootstrap: stock Qwen2 + stock InternViT (reference
+        # finetune_long_vita.py:480-530 grafting)
+        from long_vita_tpu.utils.graft import graft_checkpoints
+
+        g = model_cfg["graft"]
+        params, cfg = graft_checkpoints(g["llm"], g["vit"], dtype=dtype)
+        tokenizer = load_tokenizer(g["llm"])
+    else:
+        from long_vita_tpu.utils.checkpoint_io import load_long_vita_checkpoint
+
+        ckpt = model_cfg["checkpoint"]
+        params, cfg = load_long_vita_checkpoint(ckpt, dtype=dtype)
+        tokenizer = load_tokenizer(ckpt)
 
     if model_cfg.get("load_stage"):  # stage handoff: params from prev stage
         from long_vita_tpu.training.checkpoint import restore_params_only
