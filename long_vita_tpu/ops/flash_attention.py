@@ -41,8 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.0**30
 
-# Tuned on v5e (benchmarks/flash_tuning.py, 16K causal 14B geometry):
-# 1024x1024 -> 93.3 TFLOP/s vs 59.4 at 512x512; 2048x1024 exceeds VMEM.
+# Tuned on v5e (benchmarks/flash_tuning.py + end-to-end bench.py):
+# kernel-only 512x2048 measures fastest (95.0 TFLOP/s) but 1024x1024
+# (93.3) wins END-TO-END (71.4% vs 69.0% model MFU at 16K) — it pipelines
+# better against the surrounding GEMMs. 2048x1024 exceeds VMEM.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
 _LANE = 128
