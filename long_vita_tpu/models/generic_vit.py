@@ -38,7 +38,10 @@ class GenericViTConfig:
     patch_size: int = 14
     add_class_token: bool = True
     use_layer_scale: bool = False
+    pre_layernorm: bool = False  # CLIP: LN on embeddings before the encoder
     final_layernorm: bool = False
+    post_norm: bool = False  # EVA: LN on branch OUTPUTS (eva_vit_model.py:46-60)
+    hidden_act: str = "gelu"  # "gelu" | "gelu_tanh" (SigLIP) | "quick_gelu" (CLIP)
     layer_norm_eps: float = 1e-6
 
     @property
@@ -59,21 +62,33 @@ class GenericViTConfig:
 
 
 def clip_vit_300m(image_size: int = 448) -> GenericViTConfig:
-    """openai_300m preset (pretrain_long_vita.py get_vision_model_args_openai_300m)."""
+    """openai_300m preset (pretrain_long_vita.py get_vision_model_args_openai_300m).
+
+    ln_pre kept, ln_post dropped — matches ckpt_converter_clip.py:39,59-62.
+    HF CLIPVisionModel (ViT-L/14) uses eps 1e-5 and quick_gelu.
+    """
     return GenericViTConfig(1024, 4096, 24, 16, image_size,
-                            add_class_token=True)
+                            add_class_token=True, pre_layernorm=True,
+                            hidden_act="quick_gelu", layer_norm_eps=1e-5)
 
 
 def siglip_so400m(image_size: int = 384) -> GenericViTConfig:
-    """siglip so400m geometry (siglip_vit_model.py: no CLS token)."""
+    """siglip so400m geometry (siglip_vit_model.py: no CLS token).
+
+    post_layernorm + attention-pool head dropped — matches
+    ckpt_converter_siglip.py:83-87. HF SigLIP uses gelu_pytorch_tanh.
+    """
     return GenericViTConfig(1152, 4304, 27, 16, image_size,
-                            add_class_token=False)
+                            add_class_token=False, hidden_act="gelu_tanh",
+                            layer_norm_eps=1e-6)
 
 
 def eva_4b(image_size: int = 448) -> GenericViTConfig:
-    """eva_4b preset (get_vision_model_args_eva_4b)."""
+    """eva_4b preset (get_vision_model_args_eva_4b): post-norm residual
+    (eva_vit_model.py:46-60 applies input_layernorm/pre_mlp_layernorm to the
+    branch outputs), final LN omitted (eva_vit_model.py:146)."""
     return GenericViTConfig(1792, 15360, 63, 16, image_size,
-                            add_class_token=True)
+                            add_class_token=True, post_norm=True)
 
 
 def generic_vit(
@@ -99,10 +114,25 @@ def generic_vit(
 
     eps = cfg.layer_norm_eps
     nh, d = cfg.num_attention_heads, cfg.head_dim
+    if cfg.pre_layernorm:
+        x = layer_norm(
+            x, params["pre_norm"]["scale"], params["pre_norm"]["bias"], eps
+        )
+
+    if cfg.hidden_act == "quick_gelu":
+        act = lambda t: t * jax.nn.sigmoid(1.702 * t)
+    elif cfg.hidden_act == "gelu_tanh":
+        act = lambda t: jax.nn.gelu(t, approximate=True)
+    else:
+        act = lambda t: jax.nn.gelu(t, approximate=False)
 
     def layer(carry, lp):
         xx = carry
-        y = layer_norm(xx, lp["norm1"]["scale"], lp["norm1"]["bias"], eps)
+        # post_norm (EVA): branches read the raw residual stream and LN is
+        # applied to the branch output before the add (eva_vit_model.py:46-60)
+        y = xx if cfg.post_norm else layer_norm(
+            xx, lp["norm1"]["scale"], lp["norm1"]["bias"], eps
+        )
         qkv = y @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
         b, s, _ = qkv.shape
         q, k, v = jnp.split(qkv.reshape(b, s, 3, nh, d), 3, axis=2)
@@ -110,13 +140,18 @@ def generic_vit(
             q.squeeze(2), k.squeeze(2), v.squeeze(2), causal=False
         )
         attn = attn.reshape(b, s, -1) @ lp["proj"]["kernel"] + lp["proj"]["bias"]
+        if cfg.post_norm:
+            attn = layer_norm(attn, lp["norm1"]["scale"], lp["norm1"]["bias"], eps)
         if cfg.use_layer_scale:
             attn = attn * lp["ls1"]
         xx = xx + attn
-        y = layer_norm(xx, lp["norm2"]["scale"], lp["norm2"]["bias"], eps)
-        y = jax.nn.gelu(y @ lp["fc1"]["kernel"] + lp["fc1"]["bias"],
-                        approximate=False)
+        y = xx if cfg.post_norm else layer_norm(
+            xx, lp["norm2"]["scale"], lp["norm2"]["bias"], eps
+        )
+        y = act(y @ lp["fc1"]["kernel"] + lp["fc1"]["bias"])
         y = y @ lp["fc2"]["kernel"] + lp["fc2"]["bias"]
+        if cfg.post_norm:
+            y = layer_norm(y, lp["norm2"]["scale"], lp["norm2"]["bias"], eps)
         if cfg.use_layer_scale:
             y = y * lp["ls2"]
         return xx + y, None
@@ -164,6 +199,10 @@ def init_generic_vit_params(
     }
     if cfg.add_class_token:
         params["cls_token"] = dense(next(keys), (1, 1, h))
+    if cfg.pre_layernorm:
+        params["pre_norm"] = {
+            "scale": jnp.ones((h,), dtype), "bias": jnp.zeros((h,), dtype)
+        }
     if cfg.use_layer_scale:
         params["layers"]["ls1"] = jnp.ones((l, h), dtype)
         params["layers"]["ls2"] = jnp.ones((l, h), dtype)
