@@ -189,3 +189,55 @@ def test_cp_plus_quant_engine(engine):
     a = engine.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
     b = sharded.generate(msgs, sampling=SamplingParams(greedy=True, max_new_tokens=6))
     assert a.token_ids[:2] == b.token_ids[:2]
+
+
+def test_beam_size_one_matches_greedy(engine):
+    """beam_size=1 with no length penalty must walk the greedy path."""
+    from long_vita_tpu.inference.beam_search import beam_search
+    from long_vita_tpu.models import qwen2
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 1000, size=40).tolist()
+
+    hyps = beam_search(
+        engine, ids, beam_size=1, max_new_tokens=6, length_penalty=0.0
+    )
+    assert len(hyps) == 1
+
+    # greedy rollout with the raw decoder as reference
+    cache, last_hidden, true_len = engine.prefill(ids)
+    tokens = []
+    logits = qwen2.lm_head(engine.params["text"], last_hidden)[0]
+    tok = int(jnp.argmax(logits))
+    pos = true_len
+    for _ in range(6 - 1):
+        tokens.append(tok)
+        if tok == engine.eos_id:
+            break
+        embeds = qwen2.embed_tokens(
+            engine.params["text"], jnp.asarray([[tok]], jnp.int32)
+        )
+        hidden, cache = qwen2.qwen2_decoder(
+            engine.params["text"], embeds,
+            jnp.asarray([[pos]]), engine.cfg.text, kv_cache=cache,
+        )
+        logits = qwen2.lm_head(engine.params["text"], hidden[:, -1])[0]
+        tok = int(jnp.argmax(logits))
+        pos += 1
+    assert hyps[0].token_ids[: len(tokens)] == tokens
+
+
+def test_beam_search_scores_sorted_and_unique(engine):
+    from long_vita_tpu.inference.beam_search import beam_search
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 1000, size=30).tolist()
+    hyps = beam_search(
+        engine, ids, beam_size=3, max_new_tokens=5, num_return=3
+    )
+    assert 1 <= len(hyps) <= 3
+    scores = [h.score for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+    assert all(np.isfinite(s) for s in scores)
+    seqs = [tuple(h.token_ids) for h in hyps]
+    assert len(set(seqs)) == len(seqs)  # distinct hypotheses
