@@ -177,7 +177,12 @@ class InferenceEngine:
 
     def _head_sample_impl(self, params, hidden, rng, sp):
         logits = qwen2.lm_head(params["text"], hidden)
-        return sample(logits, rng, sp)
+        token = sample(logits, rng, sp)
+        logprob = jnp.take_along_axis(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+            token[:, None], axis=-1,
+        )[:, 0]
+        return token, logprob
 
     def _decode_step_impl(self, params, token, pos, cache, rng, sp):
         embeds = qwen2.embed_tokens(params["text"], token)
@@ -304,14 +309,16 @@ class InferenceEngine:
         )
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
-        token = self._head_sample(self.params, last_hidden, sub, sampling)
+        token, first_lp = self._head_sample(
+            self.params, last_hidden, sub, sampling
+        )
         token = token.reshape(1, 1)
         out_tokens = [int(token[0, 0])]
         pos = true_len
         budget = min(
             sampling.max_new_tokens - 1, self.max_seq_len - 1 - pos
         )
-        logprobs: list[float] = [float("nan")]  # first token: head-only path
+        logprobs: list[float] = [float(first_lp[0])]
         if out_tokens[-1] != self.eos_id and budget > 0:
             rng, sub = jax.random.split(rng)
             tokens, lps, cache = self._decode_scan(

@@ -28,6 +28,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+import jax
+
 from long_vita_tpu.inference.engine import InferenceEngine
 from long_vita_tpu.inference.sampler import SamplingParams
 
@@ -96,54 +98,68 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
             self._reply(400, err, "text/plain")
             return
 
-        prompts = req["prompts"]
-        images = list(req.get("image_path_list") or [])
-        if req.get("image_list"):
-            from PIL import Image
-
-            for image_str in req["image_list"]:
-                raw = base64.b64decode(image_str)
-                images.append(Image.open(io.BytesIO(raw)).convert("RGB"))
-        videos = list(req.get("video_path_list") or [])
-
-        if req.get("max_num_frame"):
-            self.engine.mm.max_num_frame = int(req["max_num_frame"])
-
-        top_k = req.get("top_k", 0)
-        top_p = float(req.get("top_p", 0.0))
-        stop_ids = ()
-        if req.get("stop_on_eol") or req.get("stop_on_double_eol"):
-            nl = self.engine.mm.tokenizer(
-                "\n", add_special_tokens=False
-            ).input_ids
-            stop_ids = tuple(nl)
-        sampling = SamplingParams(
-            temperature=float(req.get("temperature", 1.0)),
-            top_k=top_k,
-            top_p=top_p,
-            greedy=(top_k == 0 and top_p == 0.0),
-            max_new_tokens=int(req.get("tokens_to_generate", 64)) or 1,
-            stop_token_ids=stop_ids,
-            return_logprobs=bool(req.get("logprobs", False)),
-        )
         try:
-            results = []
             with self.server.generate_lock:
-                for prompt in prompts:
-                    results.append(self.engine.generate(
-                        [{"role": "user", "content": prompt}],
-                        images=images,
-                        videos=videos,
-                        sampling=sampling,
-                        seed=max(int(req.get("random_seed", 0)), 0),
-                    ))
+                if jax.process_count() > 1:
+                    # multi-host pod: every host must issue the same
+                    # generate() for the SPMD collectives to line up
+                    # (reference broadcast: text_generation_server.py:25-32)
+                    from long_vita_tpu.inference import multihost
+
+                    multihost.publish(req)
+                payload = execute_request(self.engine, req)
         except Exception as e:  # noqa: BLE001 — surface as 400 like reference
             self._reply(400, str(e), "text/plain")
             return
-        payload = {"text": [r.text for r in results]}
-        if sampling.return_logprobs:
-            payload["logprobs"] = [r.logprobs for r in results]
         self._reply(200, json.dumps(payload))
+
+
+def execute_request(engine: InferenceEngine, req: dict) -> dict:
+    """Run one validated /api request dict -> response payload dict.
+
+    Shared by the HTTP handler (primary host) and multihost.follower_loop
+    (all other hosts) so every host reaches identical engine calls."""
+    prompts = req["prompts"]
+    images = list(req.get("image_path_list") or [])
+    if req.get("image_list"):
+        from PIL import Image
+
+        for image_str in req["image_list"]:
+            raw = base64.b64decode(image_str)
+            images.append(Image.open(io.BytesIO(raw)).convert("RGB"))
+    videos = list(req.get("video_path_list") or [])
+
+    if req.get("max_num_frame"):
+        engine.mm.max_num_frame = int(req["max_num_frame"])
+
+    top_k = req.get("top_k", 0)
+    top_p = float(req.get("top_p", 0.0))
+    stop_ids = ()
+    if req.get("stop_on_eol") or req.get("stop_on_double_eol"):
+        nl = engine.mm.tokenizer("\n", add_special_tokens=False).input_ids
+        stop_ids = tuple(nl)
+    sampling = SamplingParams(
+        temperature=float(req.get("temperature", 1.0)),
+        top_k=top_k,
+        top_p=top_p,
+        greedy=(top_k == 0 and top_p == 0.0),
+        max_new_tokens=int(req.get("tokens_to_generate", 64)) or 1,
+        stop_token_ids=stop_ids,
+        return_logprobs=bool(req.get("logprobs", False)),
+    )
+    results = []
+    for prompt in prompts:
+        results.append(engine.generate(
+            [{"role": "user", "content": prompt}],
+            images=images,
+            videos=videos,
+            sampling=sampling,
+            seed=max(int(req.get("random_seed", 0)), 0),
+        ))
+    payload = {"text": [r.text for r in results]}
+    if sampling.return_logprobs:
+        payload["logprobs"] = [r.logprobs for r in results]
+    return payload
 
 
 def make_server(
@@ -158,6 +174,15 @@ def make_server(
 
 
 def run_server(engine: InferenceEngine, host="0.0.0.0", port=5001):
+    if jax.process_count() > 1:
+        from long_vita_tpu.inference import multihost
+
+        if not multihost.is_primary():
+            # follower hosts execute the broadcast requests and discard the
+            # payload (only host 0 answers HTTP); returns on shutdown
+            print(f"host {jax.process_index()}: follower generate loop")
+            multihost.follower_loop(lambda req: execute_request(engine, req))
+            return
     server = make_server(engine, host, port)
     print(f"long-vita-tpu server listening on {host}:{port} (PUT /api)")
     server.serve_forever()
