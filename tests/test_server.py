@@ -107,3 +107,53 @@ def test_sampling_path(server_url):
         "top_k": 5, "temperature": 0.7, "random_seed": 7,
     })
     assert code == 200, body
+
+
+def test_vlmeval_adapter_end_to_end(server_url, tmp_path):
+    """Adapter -> client -> server -> engine roundtrip (reference
+    VLMEvalKit/long_vita.py generate_inner contract)."""
+    from long_vita_tpu.eval.vlmeval_adapter import LongVITAAPI
+
+    img = tmp_path / "x.png"
+    Image.new("RGB", (64, 64), (10, 200, 30)).save(img)
+    api = LongVITAAPI(url=server_url, tokens_to_generate=4)
+    code, answer, log = api.generate_inner(
+        [{"type": "image", "value": str(img)},
+         {"type": "text", "value": "What color?"}],
+        dataset="MMVet",
+    )
+    assert code == 0
+    assert isinstance(answer, str)
+
+    # server down -> error tuple, not an exception
+    bad = LongVITAAPI(url="http://127.0.0.1:9/api", tokens_to_generate=4)
+    code, msg, _ = bad.generate_inner("hello")
+    assert code == -1 and "Failed" in msg
+
+
+def test_vlmeval_prompt_rewrites():
+    from long_vita_tpu.eval.vlmeval_adapter import (
+        build_prompt, postprocess_answer,
+    )
+
+    # MCQ-letter datasets get the letter instruction, boilerplate stripped
+    text, imgs, vids = build_prompt(
+        [{"type": "image", "value": "a.png"},
+         {"type": "text",
+          "value": "Q?\nPlease select the correct answer from the options above."}],
+        dataset="MMStar",
+    )
+    assert text.endswith("letter from the given choices directly.")
+    assert "select the correct answer" not in text
+    assert imgs == ["a.png"] and vids == []
+
+    # Video-MME frame images are folded into a <video> stream
+    text, imgs, _ = build_prompt(
+        [{"type": "image", "value": f}
+         for f in ("f1.jpg", "f2.jpg")] + [{"type": "text", "value": "Q?"}],
+        dataset="Video-MME",
+    )
+    assert text.count("<video>") == 2 and "<image>" not in text
+
+    assert postprocess_answer("blah Answer: C") == "C"
+    assert postprocess_answer("direct") == "direct"
