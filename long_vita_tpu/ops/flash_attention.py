@@ -47,6 +47,12 @@ NEG_INF = -2.0**30
 # better against the surrounding GEMMs. 2048x1024 exceeds VMEM.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
+# Backward block caps (read at trace time). Swept on v5e at 16K/40h/d128:
+# 512x512 -> 75.3, 512x1024 -> 84.2, 1024x512 -> 84.3 TFLOP/s (fwd+bwd);
+# 1024x1024 exceeds VMEM (dk/dv accumulators + p/ds intermediates live).
+# Keep caps powers of two so they divide any legal forward block size.
+BWD_BLOCK_Q_CAP = 1024
+BWD_BLOCK_KV_CAP = 512
 _LANE = 128
 
 
@@ -451,8 +457,8 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
     )  # [B, Hq, Sq_pad]
     # the backward holds ~3x the forward's live blocks (p, ds, dk/dv
     # accumulators); larger-than-512 blocks exceed v5e VMEM
-    bq = min(block_q, 512)
-    bk = min(block_kv, 512)
+    bq = min(block_q, BWD_BLOCK_Q_CAP)
+    bk = min(block_kv, BWD_BLOCK_KV_CAP)
     dq, dk, dv = _bwd_impl(
         q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
         causal, bq, bk, true_head_dim,
