@@ -659,8 +659,9 @@ def _bwd_pair_pallas(
         block_q = min(block_q, 576)
     if skv <= 2048 and _round_up(skv, 128) % block_kv:
         block_kv = min(block_kv, 576)
-    block_q = min(block_q, _round_up(sq, 128))
-    block_kv = min(block_kv, _round_up(skv, 128))
+    # same VMEM caps as _flash_core_bwd (1024x1024 bwd overflows on v5e)
+    block_q = min(block_q, BWD_BLOCK_Q_CAP, _round_up(sq, 128))
+    block_kv = min(block_kv, BWD_BLOCK_KV_CAP, _round_up(skv, 128))
     sq_pad = _round_up(sq, block_q)
 
     qp, kp, vp, segs = _prepare(
