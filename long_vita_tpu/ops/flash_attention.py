@@ -459,10 +459,36 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
     # accumulators); larger-than-512 blocks exceed v5e VMEM
     bq = min(block_q, BWD_BLOCK_Q_CAP)
     bk = min(block_kv, BWD_BLOCK_KV_CAP)
+    # The forward padded seq lens to multiples of (block_q, block_kv); the
+    # capped blocks need not divide those (e.g. 576-padded ViT vs bk=512),
+    # and _bwd_impl floors the block count — an undivided tail would leave
+    # dk/dv rows unwritten and drop their dq contribution. Re-pad to the
+    # capped blocks: extra kv slots sit beyond kv_len (masked in-kernel);
+    # extra q rows get do=0 and lse=+big so p underflows to exactly 0.
+    sq_pad, skv_pad = q.shape[2], k.shape[2]
+    eq = -sq_pad % bq
+    ek = -skv_pad % bk
+    if eq or ek:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, eq), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, eq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, ek), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, ek), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, eq)), constant_values=2.0**30)
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, eq)))
+        if segs[0] is not None:
+            segs = (
+                jnp.pad(segs[0], ((0, 0), (0, eq)), constant_values=-1),
+                jnp.pad(segs[1], ((0, 0), (0, ek)), constant_values=-2),
+            )
     dq, dk, dv = _bwd_impl(
         q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
         causal, bq, bk, true_head_dim,
     )
+    if eq:
+        dq = dq[:, :, :sq_pad]
+    if ek:
+        dk = dk[:, :, :skv_pad]
+        dv = dv[:, :, :skv_pad]
     return dq, dk, dv, None, None, None, (None, None)
 
 

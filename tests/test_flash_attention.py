@@ -128,6 +128,32 @@ def test_flash_gradients_with_segments():
         )
 
 
+@pytest.mark.parametrize("causal,sq", [(False, 1025), (True, 1537)])
+def test_flash_gradients_ragged_default_blocks(causal, sq):
+    """Ragged seqs at DEFAULT blocks: the fwd pads to 576 multiples but the
+    bwd caps block_kv at 512, which doesn't divide the fwd padding — the
+    tail kv block must still be visited (regression: unwritten dk/dv tail
+    rows / dropped dq contribution at the ViT 1025-token shape)."""
+    rng = np.random.default_rng(7)
+    q, k, v = _rand_qkv(rng, 1, sq, sq, 2, 2, 64)
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return inner
+
+    gf = jax.grad(loss(lambda q, k, v: flash_attention(q, k, v, causal=causal)),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss(lambda q, k, v: xla_attention(q, k, v, causal=causal)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gx, "qkv"):
+        assert np.isfinite(np.asarray(a)).all(), f"d{name} has non-finite values"
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_flash_lse_output():
     """LSE must match log(sum(exp(logits))) from the XLA path."""
     rng = np.random.default_rng(6)
