@@ -78,13 +78,25 @@ def follower_loop(
     execute the same generate call. Returns on the shutdown sentinel.
 
     handle(request_dict) must issue the identical engine call the primary
-    makes for that request (the server's request->generate mapping)."""
+    makes for that request (the server's request->generate mapping).
+
+    Per-request failures (bad image payload, decode errors) are logged and
+    swallowed: the primary handles the same request error-per-request and
+    keeps serving, so a follower that exited the loop would desync the pod —
+    the next broadcast/collective would hang every host."""
+    import logging
+
     pub = _publish or (lambda _: publish(None, slot_bytes))
     while True:
         req = pub(None)
         if req == SHUTDOWN:
             return
-        handle(req)
+        try:
+            handle(req)
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "follower request handler failed; staying in lockstep"
+            )
 
 
 def shutdown(slot_bytes: int = DEFAULT_SLOT_BYTES) -> None:

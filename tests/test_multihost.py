@@ -36,6 +36,23 @@ def test_follower_loop_runs_until_shutdown():
     assert handled == reqs[:2]
 
 
+def test_follower_loop_survives_handler_errors():
+    """A failing request must not eject the follower from the loop (the
+    primary keeps serving after per-request errors; a desynced follower
+    would hang the next collective)."""
+    reqs = [{"prompts": ["bad"]}, {"prompts": ["good"]}, multihost.SHUTDOWN]
+    it = iter(reqs)
+    handled = []
+
+    def handle(req):
+        handled.append(req)
+        if req["prompts"] == ["bad"]:
+            raise ValueError("bad image payload")
+
+    multihost.follower_loop(handle, _publish=lambda _: next(it))
+    assert handled == reqs[:2]
+
+
 def test_execute_request_shared_path(tmp_path):
     """The handler/follower shared executor produces the wire payload."""
     from long_vita_tpu.inference.server import execute_request
