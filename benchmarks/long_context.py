@@ -6,11 +6,17 @@ homogeneous, so times extrapolate by 48/L):
   2. steady-state decode tokens/sec against a long cached context
 
 Usage: python benchmarks/long_context.py [--seq 131072] [--layers 4]
+
+CP dryrun mode (virtual mesh): --cp 8 [--tp 1] re-execs onto cp*tp virtual
+CPU devices if needed, runs the real InferenceEngine chunked prefill on the
+mesh, and reports per-device compiled FLOPs vs the cp=1 engine — the
+prefill GEMMs must scale ~1/cp (serving TTFT rides cp, not just tp).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -19,9 +25,96 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("_LONG_VITA_BENCH_VIRTUAL"):
+    # re-exec'ed for a virtual mesh: the container sitecustomize forces the
+    # TPU platform; override before first device use (env alone is too late)
+    jax.config.update("jax_platforms", "cpu")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _reexec_virtual(n: int) -> None:
+    """Re-exec this script on n virtual CPU devices (single-chip host)."""
+    import subprocess
+
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_LONG_VITA_BENCH_VIRTUAL"] = "1"
+    sys.exit(subprocess.run([sys.executable] + sys.argv, env=env).returncode)
+
+
+def _engine_flops(engine, seq, chunk):
+    """Per-device compiled FLOPs of one real prefill chunk mid-sequence."""
+    cache = engine._make_cache(batch=1, max_len=seq)
+    # pretend half the prompt is already cached; chunk at the midpoint
+    cache = type(cache)(
+        cache.k, cache.v, jnp.asarray(seq // 2, jnp.int32),
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
+    )
+    embeds = jnp.zeros((1, chunk, engine.cfg.text.hidden_size), jnp.bfloat16)
+    if engine.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        embeds = jax.device_put(
+            embeds, NamedSharding(engine.mesh, P(None, "cp", None))
+        )
+    lowered = engine._prefill_chunk.lower(
+        engine.params, embeds, jnp.asarray(seq // 2, jnp.int32), cache
+    )
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost["flops"]), compiled
+
+
+def cp_dryrun(args, cfg, params):
+    from long_vita_tpu.config import LongVITAConfig
+    from long_vita_tpu.inference.engine import InferenceEngine
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    n = args.cp * args.tp
+    if len(jax.devices()) < n and not os.environ.get(
+        "_LONG_VITA_BENCH_VIRTUAL"
+    ):
+        _reexec_virtual(n)
+
+    vcfg = LongVITAConfig(text=cfg, vision=None)
+    base = InferenceEngine(
+        {"text": params}, vcfg, None,
+        max_seq_len=args.seq, chunk=args.chunk,
+    )
+    f1, _ = _engine_flops(base, args.seq, args.chunk)
+
+    mesh = make_mesh(
+        MeshConfig(dp=1, cp=args.cp, tp=args.tp), devices=jax.devices()[:n]
+    )
+    sharded = InferenceEngine(
+        {"text": jax.tree.map(np.asarray, params)}, vcfg, None,
+        max_seq_len=args.seq, chunk=args.chunk, mesh=mesh,
+    )
+    fn, compiled = _engine_flops(sharded, args.seq, args.chunk)
+    # (execution parity at this geometry is too slow for a CPU dryrun;
+    # tests/test_inference_engine.py covers cp-vs-single-device greedy)
+
+    ratio = fn / f1
+    log(f"per-device prefill-chunk FLOPs: cp1={f1:.3e} "
+        f"cp{args.cp}xtp{args.tp}={fn:.3e} ratio={ratio:.3f} "
+        f"(ideal GEMM scaling {1.0 / (args.cp * args.tp):.3f})")
+    print(json.dumps({
+        "mode": "cp_dryrun", "cp": args.cp, "tp": args.tp,
+        "seq": args.seq, "chunk": args.chunk, "layers": args.layers,
+        "flops_per_device_cp1": f1, "flops_per_device_cp": fn,
+        "flops_ratio": round(ratio, 4),
+        "ideal_ratio": round(1.0 / (args.cp * args.tp), 4),
+    }))
 
 
 def main():
@@ -34,6 +127,10 @@ def main():
     parser.add_argument("--from-ids", action="store_true",
                         help="embed per chunk inside the scan (1M-scale: "
                              "the full [1,S,H] embeds never materialize)")
+    parser.add_argument("--cp", type=int, default=0,
+                        help="cp dryrun: per-device FLOPs on a cp x tp mesh "
+                             "vs cp=1 (virtual CPU devices if needed)")
+    parser.add_argument("--tp", type=int, default=1)
     args = parser.parse_args()
 
     from long_vita_tpu.config import TextConfig
@@ -49,6 +146,9 @@ def main():
         f" | device {jax.devices()[0].device_kind}")
 
     params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if args.cp:
+        cp_dryrun(args, cfg, params)
+        return
     rng = np.random.default_rng(0)
 
     @jax.jit

@@ -160,6 +160,20 @@ class InferenceEngine:
         """Run one prompt chunk through the decoder, extending the cache."""
         b, s, _ = embeds.shape
         positions = start + jnp.arange(s)[None, :]
+        if self.parallel is not None and s % self.parallel.mesh.shape.get(
+            self.parallel.axis_cp, 1
+        ) == 0:
+            # seq-shard the chunk over cp: every GEMM between attention
+            # boundaries (QKV/MLP/norms) runs on 1/cp of the rows per rank;
+            # the attention shard_map gathers q and scatters the merged
+            # output back to this layout (cp_cache_attention q_sharded).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from long_vita_tpu.parallel.mesh import AXIS_CP
+
+            embeds = jax.lax.with_sharding_constraint(
+                embeds, NamedSharding(self.mesh, P(None, AXIS_CP, None))
+            )
         hidden, cache = qwen2.qwen2_decoder(
             params["text"], embeds, positions, self.cfg.text, kv_cache=cache,
             parallel=self.parallel,

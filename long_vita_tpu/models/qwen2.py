@@ -197,42 +197,76 @@ def _cp_attention_sharded(
     return fn(*args)
 
 
-def _cp_cached_attention_sharded(
-    q, ck, cv, q_offset, cache_len, parallel: "ParallelConfig",
-    ks=None, vs=None,
+def _cp_cached_update_attend_sharded(
+    q, ck_full, cv_full, ks_full, vs_full, k_new, v_new, k_sc, v_sc,
+    layer_idx, cache_len, q_offset, parallel: "ParallelConfig",
 ):
-    """Cached attention with the KV cache sequence-sharded over cp.
+    """Fused shard-local cache write + cached attention over the cp axis.
 
-    Without this, a pallas flash call on a cp-sharded cache would make
-    GSPMD all-gather the whole cache (196 GB at 1M tokens for the 14B
-    model); shard_map keeps each rank's shard local and merges partials
-    (ops/cp_cache_attention.py).
+    Two pathologies this shard_map avoids (ops/cp_cache_attention.py):
+      - a pallas flash call on a cp-sharded cache would make GSPMD
+        all-gather the whole cache (196 GB at 1M tokens for 14B); partials
+        merge with an LSE-weighted psum instead;
+      - a dynamic_update_slice at a TRACED offset into the cp-sharded slot
+        dim also all-gathers the cache (the partitioner can't place the
+        write); inside shard_map each rank writes its own s rows.
+
+    Chunked prefill (Sq > 1): q rides in/out SEQUENCE-sharded over cp so the
+    projections/MLP around this call run on 1/cp of the chunk per rank (TTFT
+    scales with cp, not just tp). Decode (Sq = 1) keeps q replicated.
     """
     from jax.sharding import PartitionSpec as P
 
-    from long_vita_tpu.ops.cp_cache_attention import cp_cached_attention
+    from long_vita_tpu.ops.cp_cache_attention import cp_cache_update_attend
 
-    qspec = P(parallel.axis_dp, None, parallel.axis_tp, None)
-    cspec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
-    if ks is None:
-        fn = jax.shard_map(
-            lambda q_, k_, v_, qo, cl: cp_cached_attention(
-                q_, k_, v_, qo, cl, parallel.axis_cp
-            ),
-            mesh=parallel.mesh,
-            in_specs=(qspec, cspec, cspec, P(), P()),
-            out_specs=qspec,
-        )
-        return fn(q, ck, cv, q_offset, cache_len)
-    fn = jax.shard_map(
-        lambda q_, k_, v_, qo, cl, ks_, vs_: cp_cached_attention(
-            q_, k_, v_, qo, cl, parallel.axis_cp, ks_, vs_
-        ),
-        mesh=parallel.mesh,
-        in_specs=(qspec, cspec, cspec, P(), P(), cspec, cspec),
-        out_specs=qspec,
+    cp = parallel.mesh.shape.get(parallel.axis_cp, 1)
+    q_sharded = q.shape[1] > 1 and q.shape[1] % cp == 0
+    qspec = P(
+        parallel.axis_dp,
+        parallel.axis_cp if q_sharded else None,
+        parallel.axis_tp,
+        None,
     )
-    return fn(q, ck, cv, q_offset, cache_len, ks, vs)
+    # [L, B, Smax, Hkv, D] stacked caches: slots over cp, kv heads over tp
+    cspec = P(None, parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
+    # the chunk's new kv rows [B, s, Hkv, D]: replicated over cp (s rows —
+    # a few MB — vs gathering the cache)
+    uspec = P(parallel.axis_dp, None, parallel.axis_tp, None)
+    quant = ks_full is not None
+
+    def body(q_, ck_, cv_, ks_, vs_, kn_, vn_, ksc_, vsc_, li, cl, qo):
+        return cp_cache_update_attend(
+            q_, ck_, cv_, kn_, vn_, ks_, vs_, ksc_, vsc_, li, cl, qo,
+            parallel.axis_cp, q_sharded=q_sharded,
+        )
+
+    if quant:
+        in_specs = (qspec, cspec, cspec, cspec, cspec, uspec, uspec,
+                    uspec, uspec, P(), P(), P())
+        out_specs = (qspec, cspec, cspec, cspec, cspec)
+        args = (q, ck_full, cv_full, ks_full, vs_full, k_new, v_new,
+                k_sc, v_sc, layer_idx, cache_len, q_offset)
+    else:
+        def body(q_, ck_, cv_, kn_, vn_, li, cl, qo):  # noqa: F811
+            out, ck2, cv2, _, _ = cp_cache_update_attend(
+                q_, ck_, cv_, kn_, vn_, None, None, None, None, li, cl, qo,
+                parallel.axis_cp, q_sharded=q_sharded,
+            )
+            return out, ck2, cv2
+
+        in_specs = (qspec, cspec, cspec, uspec, uspec, P(), P(), P())
+        out_specs = (qspec, cspec, cspec)
+        args = (q, ck_full, cv_full, k_new, v_new,
+                layer_idx, cache_len, q_offset)
+
+    fn = jax.shard_map(
+        body, mesh=parallel.mesh, in_specs=in_specs, out_specs=out_specs
+    )
+    res = fn(*args)
+    if quant:
+        return res
+    out, ck2, cv2 = res
+    return out, ck2, cv2, None, None
 
 
 def _attention_block(
@@ -267,34 +301,75 @@ def _attention_block(
         if quant:
             k_w, k_sc = quantize_kv(k)
             v_w, v_sc = quantize_kv(v)
-            ks_full = jax.lax.dynamic_update_slice(
-                ks_full, k_sc[None], (layer_idx, 0, cache_len, 0, 0)
-            )
-            vs_full = jax.lax.dynamic_update_slice(
-                vs_full, v_sc[None], (layer_idx, 0, cache_len, 0, 0)
-            )
         else:
             k_w, v_w = k.astype(ck_full.dtype), v.astype(cv_full.dtype)
-        ck_full = jax.lax.dynamic_update_slice(
-            ck_full, k_w[None], (layer_idx, 0, cache_len, 0, 0)
-        )
-        cv_full = jax.lax.dynamic_update_slice(
-            cv_full, v_w[None], (layer_idx, 0, cache_len, 0, 0)
-        )
-        new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
-        ck = jax.lax.dynamic_index_in_dim(ck_full, layer_idx, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_full, layer_idx, keepdims=False)
-        if quant:
-            ks = jax.lax.dynamic_index_in_dim(ks_full, layer_idx, keepdims=False)
-            vs = jax.lax.dynamic_index_in_dim(vs_full, layer_idx, keepdims=False)
-            if s > 1:
-                # prefill chunk: dequantize the layer slice and take the
-                # flash kernel (the fused-int8 path would materialize
-                # [chunk, Smax] f32 logits)
-                ck_d = (ck.astype(jnp.float32) * ks).astype(q.dtype)
-                cv_d = (cv.astype(jnp.float32) * vs).astype(q.dtype)
+            k_sc = v_sc = None
+
+        # cp-sharded cache: the write AND the attention must both happen
+        # shard-locally (see _cp_cached_update_attend_sharded). The one
+        # exception is the int8 prefill chunk, which dequantizes the full
+        # layer slice for the flash kernel below.
+        if parallel is not None and not (quant and s > 1):
+            out, ck_full, cv_full, ks_full, vs_full = (
+                _cp_cached_update_attend_sharded(
+                    q, ck_full, cv_full, ks_full, vs_full, k_w, v_w,
+                    k_sc, v_sc, layer_idx, cache_len, position_ids[0, 0],
+                    parallel,
+                )
+            )
+            new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
+        else:
+            if quant:
+                ks_full = jax.lax.dynamic_update_slice(
+                    ks_full, k_sc[None], (layer_idx, 0, cache_len, 0, 0)
+                )
+                vs_full = jax.lax.dynamic_update_slice(
+                    vs_full, v_sc[None], (layer_idx, 0, cache_len, 0, 0)
+                )
+            ck_full = jax.lax.dynamic_update_slice(
+                ck_full, k_w[None], (layer_idx, 0, cache_len, 0, 0)
+            )
+            cv_full = jax.lax.dynamic_update_slice(
+                cv_full, v_w[None], (layer_idx, 0, cache_len, 0, 0)
+            )
+            new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
+            ck = jax.lax.dynamic_index_in_dim(ck_full, layer_idx, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_full, layer_idx, keepdims=False)
+            if quant:
+                ks = jax.lax.dynamic_index_in_dim(ks_full, layer_idx, keepdims=False)
+                vs = jax.lax.dynamic_index_in_dim(vs_full, layer_idx, keepdims=False)
+                if s > 1:
+                    # prefill chunk: dequantize the layer slice and take the
+                    # flash kernel (the fused-int8 path would materialize
+                    # [chunk, Smax] f32 logits)
+                    ck_d = (ck.astype(jnp.float32) * ks).astype(q.dtype)
+                    cv_d = (cv.astype(jnp.float32) * vs).astype(q.dtype)
+                    out = dot_product_attention(
+                        q, ck_d, cv_d, causal=True,
+                        q_positions=position_ids,
+                        kv_positions=jnp.broadcast_to(
+                            jnp.arange(ck.shape[1]), (b, ck.shape[1])
+                        ),
+                        kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                        impl=attn_impl,
+                    )
+                else:
+                    from long_vita_tpu.ops.attention import xla_attention_quant
+
+                    out = xla_attention_quant(
+                        q, ck, ks, cv, vs,
+                        q_positions=position_ids,
+                        kv_positions=jnp.broadcast_to(
+                            jnp.arange(ck.shape[1]), (b, ck.shape[1])
+                        ),
+                        kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                    )
+            else:
                 out = dot_product_attention(
-                    q, ck_d, cv_d, causal=True,
+                    q,
+                    ck,
+                    cv,
+                    causal=True,
                     q_positions=position_ids,
                     kv_positions=jnp.broadcast_to(
                         jnp.arange(ck.shape[1]), (b, ck.shape[1])
@@ -302,39 +377,6 @@ def _attention_block(
                     kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
                     impl=attn_impl,
                 )
-            elif parallel is not None:
-                out = _cp_cached_attention_sharded(
-                    q, ck, cv, position_ids[0, 0], cache_len + s, parallel,
-                    ks, vs,
-                )
-            else:
-                from long_vita_tpu.ops.attention import xla_attention_quant
-
-                out = xla_attention_quant(
-                    q, ck, ks, cv, vs,
-                    q_positions=position_ids,
-                    kv_positions=jnp.broadcast_to(
-                        jnp.arange(ck.shape[1]), (b, ck.shape[1])
-                    ),
-                    kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
-                )
-        elif parallel is not None:
-            out = _cp_cached_attention_sharded(
-                q, ck, cv, position_ids[0, 0], cache_len + s, parallel
-            )
-        else:
-            out = dot_product_attention(
-                q,
-                ck,
-                cv,
-                causal=True,
-                q_positions=position_ids,
-                kv_positions=jnp.broadcast_to(
-                    jnp.arange(ck.shape[1]), (b, ck.shape[1])
-                ),
-                kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
-                impl=attn_impl,
-            )
     elif parallel is not None:
         out = _cp_attention_sharded(q, k, v, segment_ids, parallel)
     else:

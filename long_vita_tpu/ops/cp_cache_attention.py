@@ -57,8 +57,76 @@ def _local_partial(q, k_shard, v_shard, q_offset, shard_start, valid_len):
     return o.astype(q.dtype), lse
 
 
+def _shard_update(cache_shard, new_rows, layer_idx, cache_len, axis_name):
+    """Write new_rows [B, s, H, ...] (replicated over cp) into this rank's
+    cache shard [L, B, C, H, ...] at GLOBAL slot cache_len, layer layer_idx.
+
+    A dynamic_update_slice on the globally-sharded cache would make GSPMD
+    all-gather the whole cache (the offset is traced, so the partitioner
+    can't place the write); inside shard_map the offset is rank-local and
+    the write touches s rows. Handles writes that straddle shard
+    boundaries: each rank takes the overlapping rows, others keep theirs.
+    """
+    r = jax.lax.axis_index(axis_name)
+    c = cache_shard.shape[2]
+    s = new_rows.shape[1]
+    off = cache_len - r * c  # intended local offset (may be outside [0, c-s])
+    offc = jnp.clip(off, 0, c - s)
+    # local slot offc+i should receive new_rows[offc+i - off]
+    idx = jnp.arange(s) + (offc - off)
+    valid = jnp.logical_and(idx >= 0, idx < s)
+    gathered = jnp.take(new_rows, jnp.clip(idx, 0, s - 1), axis=1)
+    cur = jax.lax.dynamic_slice(
+        cache_shard,
+        (layer_idx, 0, offc) + (0,) * (cache_shard.ndim - 3),
+        (1,) + cache_shard.shape[1:2] + (s,) + cache_shard.shape[3:],
+    )[0]
+    mask = valid[None, :, None, None]
+    rows = jnp.where(mask, gathered.astype(cache_shard.dtype), cur)
+    return jax.lax.dynamic_update_slice(
+        cache_shard,
+        rows[None],
+        (layer_idx, 0, offc) + (0,) * (cache_shard.ndim - 3),
+    )
+
+
+def cp_cache_update_attend(
+    q, ck_shard, cv_shard, k_new, v_new, ks_shard, vs_shard, k_sc, v_sc,
+    layer_idx, cache_len, q_offset, axis_name: str = "cp",
+    q_sharded: bool = False,
+):
+    """Fused shard-local cache write + partial-merged attention.
+
+    ck/cv_shard: [L, B, C, Hkv, D] local cache shards; k/v_new: [B, s, Hkv, D]
+    the chunk's kv rows (replicated over cp); optional int8 scales likewise.
+    Writes the rows at global slot cache_len, then attends q against the
+    updated layer shard with total valid length cache_len + s. Must run
+    inside shard_map. Returns (out, updated shards...).
+    """
+    s = k_new.shape[1]
+    ck_shard = _shard_update(ck_shard, k_new, layer_idx, cache_len, axis_name)
+    cv_shard = _shard_update(cv_shard, v_new, layer_idx, cache_len, axis_name)
+    ks_l = vs_l = None
+    if ks_shard is not None:
+        ks_shard = _shard_update(
+            ks_shard, k_sc, layer_idx, cache_len, axis_name
+        )
+        vs_shard = _shard_update(
+            vs_shard, v_sc, layer_idx, cache_len, axis_name
+        )
+        ks_l = jax.lax.dynamic_index_in_dim(ks_shard, layer_idx, keepdims=False)
+        vs_l = jax.lax.dynamic_index_in_dim(vs_shard, layer_idx, keepdims=False)
+    k_l = jax.lax.dynamic_index_in_dim(ck_shard, layer_idx, keepdims=False)
+    v_l = jax.lax.dynamic_index_in_dim(cv_shard, layer_idx, keepdims=False)
+    out = cp_cached_attention(
+        q, k_l, v_l, q_offset, cache_len + s, axis_name, ks_l, vs_l,
+        q_sharded=q_sharded,
+    )
+    return out, ck_shard, cv_shard, ks_shard, vs_shard
+
+
 def cp_cached_attention(
-    q: jnp.ndarray,  # [B, Sq, Hq, D], replicated over cp
+    q: jnp.ndarray,  # [B, Sq, Hq, D] (local q shard when q_sharded)
     k_shard: jnp.ndarray,  # [B, C, Hkv, D] local cache shard
     v_shard: jnp.ndarray,
     q_offset,  # scalar: global position of q[0]
@@ -66,11 +134,20 @@ def cp_cached_attention(
     axis_name: str = "cp",
     k_scale=None,  # [B, C, Hkv, 1] int8-cache scales (optional)
     v_scale=None,
+    q_sharded: bool = False,
 ) -> jnp.ndarray:
     """Merge per-shard partials across cp. Must run inside shard_map.
 
     With k_scale/v_scale the shards are int8 (models/qwen2.py quantize_kv);
-    dequantization happens shard-locally so only int8 bytes cross HBM."""
+    dequantization happens shard-locally so only int8 bytes cross HBM.
+
+    q_sharded (chunked prefill): q arrives SEQUENCE-sharded over cp so the
+    surrounding QKV/MLP GEMMs run on 1/cp of the chunk per rank (without
+    this, every cp rank redundantly computes the whole chunk and 1M TTFT
+    scales with tp only). The chunk-sized q is all-gathered here — a few MB
+    vs the cache's GBs — and the LSE-weighted merge returns sequence-sharded
+    via psum_scatter (1/cp the psum bytes). Decode (Sq=1) keeps q replicated.
+    """
     cp = jax.lax.axis_size(axis_name)
     r = jax.lax.axis_index(axis_name)
     c = k_shard.shape[1]
@@ -82,6 +159,9 @@ def cp_cached_attention(
         k_shard = (k_shard.astype(jnp.float32) * k_scale).astype(q.dtype)
         v_shard = (v_shard.astype(jnp.float32) * v_scale).astype(q.dtype)
 
+    if q_sharded:
+        q = jax.lax.all_gather(q, axis_name, axis=1, tiled=True)
+
     o, lse = _local_partial(
         q, k_shard, v_shard, q_offset, shard_start, valid_len
     )  # o [B,Sq,H,D], lse [B,H,Sq]
@@ -89,6 +169,17 @@ def cp_cached_attention(
     lse_max = jax.lax.pmax(lse, axis_name)
     w = jnp.exp(lse - lse_max)  # [B,H,Sq], 0 where shard saw nothing
     w_q = jnp.transpose(w, (0, 2, 1))[..., None]  # [B,Sq,H,1]
-    o_sum = jax.lax.psum(o.astype(jnp.float32) * w_q, axis_name)
-    w_sum = jax.lax.psum(w_q, axis_name)
+    ow = o.astype(jnp.float32) * w_q
+    if q_sharded:
+        # merge + return-to-shard in one collective: rank r keeps the rows
+        # it contributed (all_gather above concatenated in rank order)
+        o_sum = jax.lax.psum_scatter(
+            ow, axis_name, scatter_dimension=1, tiled=True
+        )
+        w_sum = jax.lax.psum_scatter(
+            w_q, axis_name, scatter_dimension=1, tiled=True
+        )
+    else:
+        o_sum = jax.lax.psum(ow, axis_name)
+        w_sum = jax.lax.psum(w_q, axis_name)
     return (o_sum / jnp.maximum(w_sum, 1e-30)).astype(q.dtype)
