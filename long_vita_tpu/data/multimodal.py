@@ -18,6 +18,7 @@ videos, matching the reference's two passes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import numpy as np
@@ -104,10 +105,11 @@ class MultimodalTokenizer:
                         self.patch_end, indices, labels,
                     )
 
-    def _expand_video(self, ids, video, indices, images, labels=None) -> None:
+    def _expand_video(self, ids, video, indices, images, labels=None,
+                      max_num_frame: Optional[int] = None) -> None:
         if isinstance(video, str):
             frames = self.processor.process_video(
-                video, self.max_num_frame, self.max_fps
+                video, max_num_frame or self.max_num_frame, self.max_fps
             )
         else:  # pre-extracted frame list
             frames = self.processor.process_images(video)
@@ -124,6 +126,7 @@ class MultimodalTokenizer:
         images: Sequence = (),
         videos: Sequence = (),
         labels: Optional[Sequence[int]] = None,
+        max_num_frame: Optional[int] = None,
     ) -> ExpandedInputs:
         """Expand tags in a tokenized prompt.
 
@@ -132,6 +135,8 @@ class MultimodalTokenizer:
         labels: optional training targets aligned with input_ids; inserted
         multimodal tokens get IGNORE_INDEX (training path, reference
         dataset_qwen2.py:540-565).
+        max_num_frame: per-call frame-budget override (the server passes the
+        request's value here instead of mutating shared state).
         """
         ids = list(input_ids)
         labs = list(labels) if labels is not None else None
@@ -158,7 +163,10 @@ class MultimodalTokenizer:
             return new_ids, new_labs
 
         ids, labs = _pass(ids, labs, self.img_tag, self._expand_image, list(images))
-        ids, labs = _pass(ids, labs, self.vid_tag, self._expand_video, list(videos))
+        expand_video = functools.partial(
+            self._expand_video, max_num_frame=max_num_frame
+        )
+        ids, labs = _pass(ids, labs, self.vid_tag, expand_video, list(videos))
 
         if not tile_stacks:
             return ExpandedInputs(ids, None, None, labs)

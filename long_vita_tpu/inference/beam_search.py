@@ -57,8 +57,9 @@ def beam_search(
     beams = [([int(t)], float(logprobs[t])) for t in top]
     finished: list[BeamHypothesis] = []
 
-    # replicate the cache across beams
-    cache = KVCache(
+    # replicate the cache across beams, keeping the engine's mesh layout
+    # (cp-sharded slots / tp-sharded kv heads survive the beam expansion)
+    cache = engine.shard_cache(KVCache(
         jnp.repeat(cache.k, beam_size, axis=1),
         jnp.repeat(cache.v, beam_size, axis=1),
         cache.length,
@@ -66,13 +67,14 @@ def beam_search(
                  if cache.k_scale is not None else None),
         v_scale=(jnp.repeat(cache.v_scale, beam_size, axis=1)
                  if cache.v_scale is not None else None),
-    )
+    ))
 
     @jax.jit
     def step(params, tokens, pos, cache):
         embeds = qwen2.embed_tokens(params["text"], tokens)
         hidden, cache = qwen2.qwen2_decoder(
-            params["text"], embeds, pos, cfg.text, kv_cache=cache
+            params["text"], embeds, pos, cfg.text, kv_cache=cache,
+            parallel=engine.parallel,
         )
         logits = qwen2.lm_head(params["text"], hidden[:, -1])
         return jax.nn.log_softmax(logits, axis=-1), cache
@@ -111,13 +113,13 @@ def beam_search(
             break
         beams = new_beams
         order = jnp.asarray(reorder)
-        cache = KVCache(
+        cache = engine.shard_cache(KVCache(
             cache.k[:, order], cache.v[:, order], cache.length,
             k_scale=(cache.k_scale[:, order]
                      if cache.k_scale is not None else None),
             v_scale=(cache.v_scale[:, order]
                      if cache.v_scale is not None else None),
-        )
+        ))
 
         if len(finished) >= beam_size:
             best_possible = _length_penalty_score(

@@ -105,31 +105,35 @@ class InferenceEngine:
             self.cfg.text, batch=batch, max_len=max_len,
             dtype=self.cache_dtype, quantize=self.kv_quant,
         )
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        return self.shard_cache(cache)
 
-            from long_vita_tpu.parallel.mesh import AXIS_TP
+    def shard_cache(self, cache: KVCache) -> KVCache:
+        """Lay a cache out on the serving mesh: cache slots over cp (when
+        cp-serving), kv heads over tp. No-op off-mesh. Also used by beam
+        search after replicating the prompt cache across beams."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from long_vita_tpu.parallel.mesh import AXIS_CP
+        from long_vita_tpu.parallel.mesh import AXIS_CP, AXIS_TP
 
-            cp_axis = AXIS_CP if self.parallel is not None else None
-            spec = NamedSharding(
-                self.mesh, P(None, None, cp_axis, AXIS_TP, None)
-            )
-            cache = KVCache(
-                jax.device_put(cache.k, spec),
-                jax.device_put(cache.v, spec),
-                cache.length,
-                k_scale=(
-                    jax.device_put(cache.k_scale, spec)
-                    if cache.k_scale is not None else None
-                ),
-                v_scale=(
-                    jax.device_put(cache.v_scale, spec)
-                    if cache.v_scale is not None else None
-                ),
-            )
-        return cache
+        cp_axis = AXIS_CP if self.parallel is not None else None
+        spec = NamedSharding(
+            self.mesh, P(None, None, cp_axis, AXIS_TP, None)
+        )
+        return KVCache(
+            jax.device_put(cache.k, spec),
+            jax.device_put(cache.v, spec),
+            cache.length,
+            k_scale=(
+                jax.device_put(cache.k_scale, spec)
+                if cache.k_scale is not None else None
+            ),
+            v_scale=(
+                jax.device_put(cache.v_scale, spec)
+                if cache.v_scale is not None else None
+            ),
+        )
 
     # ---- jitted pieces --------------------------------------------------
 
@@ -211,19 +215,23 @@ class InferenceEngine:
     def _decode_scan_impl(self, params, token, start_pos, cache, rng, sp, n):
         """Generate n tokens in ONE compiled scan (no per-token dispatch).
 
-        Past-EOS steps still run but their outputs are masked to eos — the
-        host trims at the first eos. (The reference's loop early-stops via a
-        broadcast, generation.py:255-258; a fused scan is faster on TPU.)
+        Batched: token [B, 1], start_pos [B] (per-row positions — ragged
+        prompts decode together, each row writing at its own cache
+        frontier). Past-EOS steps still run but their outputs are masked to
+        eos — the host trims at the first eos. (The reference's loop
+        early-stops via a broadcast, generation.py:255-258; a fused scan is
+        faster on TPU.)
         """
         eos = self.eos_id
         stops = jnp.asarray((eos,) + tuple(sp.stop_token_ids), jnp.int32)
+        bsz = token.shape[0]
 
         def body(carry, i):
             token, cache, rng, done = carry
             rng, sub = jax.random.split(rng)
             embeds = qwen2.embed_tokens(params["text"], token)
             hidden, cache = qwen2.qwen2_decoder(
-                params["text"], embeds, (start_pos + i)[None, None],
+                params["text"], embeds, (start_pos + i)[:, None],
                 self.cfg.text, kv_cache=cache, parallel=self.parallel,
             )
             logits = qwen2.lm_head(params["text"], hidden[:, -1])
@@ -237,9 +245,9 @@ class InferenceEngine:
             return (next_token[:, None], cache, rng, done), (next_token, logprob)
 
         (_, cache, _, _), (tokens, logprobs) = jax.lax.scan(
-            body, (token, cache, rng, jnp.zeros((1,), bool)), jnp.arange(n)
+            body, (token, cache, rng, jnp.zeros((bsz,), bool)), jnp.arange(n)
         )
-        return tokens[:, 0], logprobs[:, 0], cache  # [n]
+        return tokens.T, logprobs.T, cache  # [B, n]
 
     # ---- public API ------------------------------------------------------
 
@@ -303,6 +311,148 @@ class InferenceEngine:
             )
         return cache, last_hidden, true_len
 
+    def prefill_batch(
+        self, batch_inputs: list[tuple]
+    ) -> tuple[KVCache, jnp.ndarray, np.ndarray]:
+        """Batched ragged prefill: all prompts pad to one chunk-multiple and
+        stream through the decoder together; a per-row frontier (vector
+        cache length) then realigns each row at its true length.
+
+        batch_inputs: list of (input_ids, images, image_indices) per row.
+        -> (cache with per-row lengths, last-row hidden [B, H], lengths [B]).
+        """
+        if self.parallel is not None:
+            raise ValueError(
+                "batched serving does not compose with cp-sharded caches "
+                "yet; run batch-1 on cp meshes"
+            )
+        bsz = len(batch_inputs)
+        lengths = np.asarray([len(x[0]) for x in batch_inputs], np.int32)
+        if lengths.max() > self.max_seq_len:
+            raise ValueError(
+                f"prompt {int(lengths.max())} exceeds max_seq_len "
+                f"{self.max_seq_len} (reference max_tokens_to_oom semantics)"
+            )
+        padded = _round_up(int(lengths.max()), self.chunk)
+        ids = np.zeros((bsz, padded), np.int32)
+        for row, (toks, _, _) in enumerate(batch_inputs):
+            ids[row, : len(toks)] = toks
+        ids = jnp.asarray(ids)
+
+        # merge per-row tile stacks; rewrite the scatter batch index the way
+        # the training collator does (reference data_collator.py:88-95)
+        feats = indices = None
+        stacks, idx_parts = [], []
+        for row, (_, imgs, idx) in enumerate(batch_inputs):
+            if imgs is None or imgs.shape[0] == 0:
+                continue
+            stacks.append(np.asarray(imgs))
+            idx = np.array(idx, copy=True)
+            idx[0] = row
+            idx_parts.append(idx)
+        if stacks:
+            feats = self._encode_images(
+                self.params,
+                jnp.asarray(np.concatenate(stacks, 0), self.cache_dtype),
+            )
+            indices = jnp.asarray(np.concatenate(idx_parts, 1))
+        embeds = self._embed_prompt(self.params, ids, feats, indices)
+
+        cache = self._make_cache(
+            batch=bsz, max_len=_round_up(self.max_seq_len, self.chunk)
+        )
+        for start in range(0, padded, self.chunk):
+            chunk_embeds = jax.lax.dynamic_slice_in_dim(
+                embeds, start, self.chunk, axis=1
+            )
+            _, cache = self._prefill_chunk(
+                self.params, chunk_embeds, start, cache
+            )
+        # Realign every row at its true length: re-run each row's final
+        # prompt token decode-style against a per-row frontier of len-1 (the
+        # scatter overwrites slot len-1 with the identical kv; causality
+        # masks each row's padded-prefill garbage beyond the frontier).
+        cache = KVCache(
+            cache.k, cache.v, jnp.asarray(lengths - 1),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
+        last_tok = jnp.asarray(
+            np.take_along_axis(
+                np.asarray(ids), lengths[:, None] - 1, axis=1
+            )
+        )
+        last_hidden, cache = self._last_row(
+            self.params, last_tok, jnp.asarray(lengths[:, None] - 1), cache
+        )
+        return cache, last_hidden, lengths
+
+    def generate_batch(
+        self,
+        requests: list[dict],
+        *,
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+    ) -> list[GenerationResult]:
+        """Decode several requests in lockstep (one compiled scan for the
+        whole batch — weight reads amortize, the serving-throughput lever
+        the reference's one-request server never gets).
+
+        Each request dict: {"messages": [...]} or {"input_ids": [...]},
+        plus optional "images", "videos", "max_num_frame".
+        """
+        expanded = []
+        for r in requests:
+            input_ids = r.get("input_ids")
+            if input_ids is None:
+                input_ids = self.mm.encode_chat(r["messages"])
+            expanded.append(self.mm.expand(
+                input_ids,
+                images=r.get("images", ()),
+                videos=r.get("videos", ()),
+                max_num_frame=r.get("max_num_frame"),
+            ))
+        cache, last_hidden, lengths = self.prefill_batch(
+            [(e.input_ids, e.images, e.image_indices) for e in expanded]
+        )
+        bsz = len(requests)
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        first, first_lp = self._head_sample(
+            self.params, last_hidden, sub, sampling
+        )
+        first = np.asarray(first)
+        rows = [[int(first[b])] for b in range(bsz)]
+        row_lps = [[float(x)] for x in np.asarray(first_lp)]
+        budget = min(
+            sampling.max_new_tokens - 1,
+            self.max_seq_len - 1 - int(lengths.max()),
+        )
+        if budget > 0:
+            rng, sub = jax.random.split(rng)
+            tokens, lps, cache = self._decode_scan(
+                self.params, jnp.asarray(first[:, None]),
+                jnp.asarray(lengths), cache, sub, sampling, budget,
+            )
+            tokens, lps = np.asarray(tokens), np.asarray(lps)
+            for b in range(bsz):
+                rows[b] += [int(t) for t in tokens[b]]
+                row_lps[b] += [float(x) for x in lps[b]]
+
+        stop_set = {self.eos_id, *sampling.stop_token_ids}
+        results = []
+        for b in range(bsz):
+            toks, lps_b = rows[b], row_lps[b]
+            for idx, t in enumerate(toks):
+                if t in stop_set:
+                    toks, lps_b = toks[:idx], lps_b[:idx]
+                    break
+            text = self.mm.tokenizer.decode(toks, skip_special_tokens=True)
+            results.append(GenerationResult(
+                toks, text, int(lengths[b]),
+                lps_b if sampling.return_logprobs else None,
+            ))
+        return results
+
     def generate(
         self,
         messages: Optional[list[dict]] = None,
@@ -312,11 +462,15 @@ class InferenceEngine:
         videos: Sequence = (),
         sampling: SamplingParams = SamplingParams(),
         seed: int = 0,
+        max_num_frame: Optional[int] = None,
     ) -> GenerationResult:
         """Chat generate. `messages` use <image>/<video> tags in content."""
         if input_ids is None:
             input_ids = self.mm.encode_chat(messages)
-        expanded = self.mm.expand(input_ids, images=images, videos=videos)
+        expanded = self.mm.expand(
+            input_ids, images=images, videos=videos,
+            max_num_frame=max_num_frame,
+        )
 
         cache, last_hidden, true_len = self.prefill(
             expanded.input_ids, expanded.images, expanded.image_indices
@@ -336,11 +490,11 @@ class InferenceEngine:
         if out_tokens[-1] != self.eos_id and budget > 0:
             rng, sub = jax.random.split(rng)
             tokens, lps, cache = self._decode_scan(
-                self.params, token, jnp.asarray(pos, jnp.int32), cache, sub,
-                sampling, budget,
+                self.params, token, jnp.full((1,), pos, jnp.int32), cache,
+                sub, sampling, budget,
             )
-            out_tokens += [int(t) for t in np.asarray(tokens)]
-            logprobs += [float(x) for x in np.asarray(lps)]
+            out_tokens += [int(t) for t in np.asarray(tokens[0])]
+            logprobs += [float(x) for x in np.asarray(lps[0])]
 
         stop_set = {self.eos_id, *sampling.stop_token_ids}
         for idx, t in enumerate(out_tokens):

@@ -4,20 +4,25 @@ Contract (reference long_vita_megatron/inference/text_generation_server.py
 :34-281 + client inference_long_vita.py:27-65):
 
     PUT /api
-    {"prompts": [str],                  # exactly one prompt supported
+    {"prompts": [str],
      "image_path_list": [str] | null,
      "video_path_list": [str] | null,
      "image_list": [base64 str] | null, # base64-encoded images
      "tokens_to_generate": int,         # default 64
      "temperature": float, "top_k": int, "top_p": float,
+     "beam_width": int | null,          # beam search (batch must be 1)
+     "length_penalty": float,
      "max_num_frame": int, "random_seed": int, ...}
-    -> 200 {"text": [generated_text]}
+    -> 200 {"text": [generated_text]}            (greedy/sampling)
+    -> 200 {"text": [...], "segments": [...], "scores": [...]}  (beam)
     -> 400 plain-text error message (same strings where practical)
 
 Implemented on http.server (flask is not in the image); the wire contract
 is what VLMEvalKit's LongVITAAPI adapter consumes. Unlike the reference CP
 server (which re-prefills per token, server_cp.sh:184), generation here
-always uses the KV cache.
+always uses the KV cache — and concurrent requests with identical sampling
+settings micro-batch into ONE lockstep decode (generate_batch), which the
+reference's globally-locked one-at-a-time server cannot do.
 """
 from __future__ import annotations
 
@@ -25,6 +30,7 @@ import base64
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -65,6 +71,14 @@ def _validate(req: dict) -> Optional[str]:
         return "top_p must be less than or equal to 1.0"
     if top_p > 0.0 and top_k > 0:
         return "cannot set both top-k and top-p samplings."
+    if "beam_width" in req and req["beam_width"] is not None:
+        beam_width = req["beam_width"]
+        if not isinstance(beam_width, int):
+            return "beam_width must be integer"
+        if beam_width < 1:
+            return "beam_width must be an integer > 1"
+        if len(prompts) > 1:
+            return "When doing beam_search, batch size must be 1"
     return None
 
 
@@ -99,27 +113,28 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
             return
 
         try:
-            with self.server.generate_lock:
-                if jax.process_count() > 1:
-                    # multi-host pod: every host must issue the same
-                    # generate() for the SPMD collectives to line up
-                    # (reference broadcast: text_generation_server.py:25-32)
-                    from long_vita_tpu.inference import multihost
+            batcher = getattr(self.server, "batcher", None)
+            if batcher is not None and not req.get("beam_width"):
+                # single-host micro-batching path: concurrent requests with
+                # the same sampling settings decode together
+                payload = batcher.submit(req)
+            else:
+                with self.server.generate_lock:
+                    if jax.process_count() > 1:
+                        # multi-host pod: every host must issue the same
+                        # generate() for the SPMD collectives to line up
+                        # (reference text_generation_server.py:25-32)
+                        from long_vita_tpu.inference import multihost
 
-                    multihost.publish(req)
-                payload = execute_request(self.engine, req)
+                        multihost.publish(req)
+                    payload = execute_request(self.engine, req)
         except Exception as e:  # noqa: BLE001 — surface as 400 like reference
             self._reply(400, str(e), "text/plain")
             return
         self._reply(200, json.dumps(payload))
 
 
-def execute_request(engine: InferenceEngine, req: dict) -> dict:
-    """Run one validated /api request dict -> response payload dict.
-
-    Shared by the HTTP handler (primary host) and multihost.follower_loop
-    (all other hosts) so every host reaches identical engine calls."""
-    prompts = req["prompts"]
+def _request_media(req: dict) -> tuple[list, list]:
     images = list(req.get("image_path_list") or [])
     if req.get("image_list"):
         from PIL import Image
@@ -128,10 +143,10 @@ def execute_request(engine: InferenceEngine, req: dict) -> dict:
             raw = base64.b64decode(image_str)
             images.append(Image.open(io.BytesIO(raw)).convert("RGB"))
     videos = list(req.get("video_path_list") or [])
+    return images, videos
 
-    if req.get("max_num_frame"):
-        engine.mm.max_num_frame = int(req["max_num_frame"])
 
+def _parse_sampling(req: dict, engine: InferenceEngine) -> tuple[SamplingParams, int]:
     top_k = req.get("top_k", 0)
     top_p = float(req.get("top_p", 0.0))
     stop_ids = ()
@@ -147,14 +162,34 @@ def execute_request(engine: InferenceEngine, req: dict) -> dict:
         stop_token_ids=stop_ids,
         return_logprobs=bool(req.get("logprobs", False)),
     )
+    return sampling, max(int(req.get("random_seed", 0)), 0)
+
+
+def execute_request(engine: InferenceEngine, req: dict) -> dict:
+    """Run one validated /api request dict -> response payload dict.
+
+    Shared by the HTTP handler (primary host) and multihost.follower_loop
+    (all other hosts) so every host reaches identical engine calls."""
+    images, videos = _request_media(req)
+    max_num_frame = (
+        int(req["max_num_frame"]) if req.get("max_num_frame") else None
+    )
+    sampling, seed = _parse_sampling(req, engine)
+
+    if req.get("beam_width"):
+        return _execute_beam(
+            engine, req, images, videos, max_num_frame, sampling
+        )
+
     results = []
-    for prompt in prompts:
+    for prompt in req["prompts"]:
         results.append(engine.generate(
             [{"role": "user", "content": prompt}],
             images=images,
             videos=videos,
             sampling=sampling,
-            seed=max(int(req.get("random_seed", 0)), 0),
+            seed=seed,
+            max_num_frame=max_num_frame,
         ))
     payload = {"text": [r.text for r in results]}
     if sampling.return_logprobs:
@@ -162,14 +197,164 @@ def execute_request(engine: InferenceEngine, req: dict) -> dict:
     return payload
 
 
+def _execute_beam(engine, req, images, videos, max_num_frame, sampling) -> dict:
+    """Beam-search branch (reference text_generation_server.py:236-250 —
+    num_return_gen = beam_width, response carries segments + scores)."""
+    from long_vita_tpu.inference.beam_search import beam_search
+
+    beam_width = int(req["beam_width"])
+    prompt = req["prompts"][0]
+    input_ids = engine.mm.encode_chat(
+        [{"role": "user", "content": prompt}]
+    )
+    expanded = engine.mm.expand(
+        input_ids, images=images, videos=videos,
+        max_num_frame=max_num_frame,
+    )
+    hyps = beam_search(
+        engine,
+        expanded.input_ids,
+        images=expanded.images,
+        image_indices=expanded.image_indices,
+        beam_size=beam_width,
+        max_new_tokens=sampling.max_new_tokens,
+        length_penalty=float(req.get("length_penalty", 1.0)),
+        num_return=beam_width,
+    )
+    tok = engine.mm.tokenizer
+    return {
+        "text": [
+            tok.decode(h.token_ids, skip_special_tokens=True) for h in hyps
+        ],
+        "segments": [
+            [tok.decode([t], skip_special_tokens=False) for t in h.token_ids]
+            for h in hyps
+        ],
+        "scores": [h.score for h in hyps],
+    }
+
+
+def _sampling_key(req: dict) -> tuple:
+    """Requests agreeing on this key may decode as one batch."""
+    return (
+        req.get("tokens_to_generate", 64),
+        req.get("temperature", 1.0),
+        req.get("top_k", 0),
+        req.get("top_p", 0.0),
+        req.get("random_seed", 0),
+        bool(req.get("logprobs")),
+        bool(req.get("stop_on_eol")),
+        bool(req.get("stop_on_double_eol")),
+    )
+
+
+def execute_batch(engine: InferenceEngine, reqs: list[dict]) -> list[dict]:
+    """Run several same-sampling /api requests as one engine batch."""
+    sampling, seed = _parse_sampling(reqs[0], engine)
+    rows, spans = [], []
+    for req in reqs:
+        images, videos = _request_media(req)
+        max_num_frame = (
+            int(req["max_num_frame"]) if req.get("max_num_frame") else None
+        )
+        start = len(rows)
+        for prompt in req["prompts"]:
+            rows.append({
+                "messages": [{"role": "user", "content": prompt}],
+                "images": images,
+                "videos": videos,
+                "max_num_frame": max_num_frame,
+            })
+        spans.append((start, len(rows), req))
+    results = engine.generate_batch(rows, sampling=sampling, seed=seed)
+    payloads = []
+    for start, end, _req in spans:
+        rs = results[start:end]
+        payload = {"text": [r.text for r in rs]}
+        if sampling.return_logprobs:
+            payload["logprobs"] = [r.logprobs for r in rs]
+        payloads.append(payload)
+    return payloads
+
+
+class RequestBatcher:
+    """Micro-batching scheduler: a short accumulation window groups
+    concurrent requests by sampling key, then one generate_batch serves the
+    whole group (weight reads amortize across rows — the decode batch-8
+    numbers in PERF.md realized in the serving path)."""
+
+    def __init__(
+        self, engine: InferenceEngine, max_batch: int = 8,
+        window_s: float = 0.02,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self._cv = threading.Condition()
+        self._queue: list[tuple] = []  # (key, req, box)
+        self.batch_sizes: list[int] = []  # observability: rows per dispatch
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: dict) -> dict:
+        box: dict = {"event": threading.Event()}
+        with self._cv:
+            self._queue.append((_sampling_key(req), req, box))
+            self._cv.notify()
+        box["event"].wait()
+        if "error" in box:
+            raise box["error"]
+        return box["payload"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            time.sleep(self.window_s)  # let a burst accumulate
+            with self._cv:
+                key = self._queue[0][0]
+                group, n_rows = [], 0
+                for entry in list(self._queue):
+                    if entry[0] != key:
+                        continue
+                    rows = len(entry[1]["prompts"])
+                    if group and n_rows + rows > self.max_batch:
+                        break
+                    group.append(entry)
+                    n_rows += rows
+                for entry in group:
+                    self._queue.remove(entry)
+            try:
+                payloads = execute_batch(self.engine, [e[1] for e in group])
+                self.batch_sizes.append(n_rows)
+                for (_, _, box), payload in zip(group, payloads):
+                    box["payload"] = payload
+            except Exception as exc:  # noqa: BLE001
+                for _, _, box in group:
+                    box["error"] = exc
+            for _, _, box in group:
+                box["event"].set()
+
+
 def make_server(
-    engine: InferenceEngine, host: str = "0.0.0.0", port: int = 5001
+    engine: InferenceEngine, host: str = "0.0.0.0", port: int = 5001,
+    *, max_batch: int = 8, batch_window_s: float = 0.02,
 ) -> ThreadingHTTPServer:
     handler = type(
         "BoundHandler", (LongVITARequestHandler,), {"engine": engine}
     )
     server = ThreadingHTTPServer((host, port), handler)
-    server.generate_lock = threading.Lock()  # one generation at a time
+    server.generate_lock = threading.Lock()  # beam / multihost serial path
+    server.batcher = None
+    if (
+        max_batch > 1
+        and jax.process_count() == 1
+        and engine.parallel is None  # cp-sharded caches stay batch-1
+    ):
+        server.batcher = RequestBatcher(
+            engine, max_batch=max_batch, window_s=batch_window_s
+        )
     return server
 
 

@@ -79,7 +79,10 @@ class KVCache:
 
     k: jnp.ndarray
     v: jnp.ndarray
-    length: jnp.ndarray  # scalar int32: number of valid positions
+    # int32 number of valid positions: scalar (batch-uniform) or [B] vector
+    # (ragged batched serving — each row's tokens stay contiguously packed,
+    # writes scatter at per-row offsets, causality masks beyond the frontier)
+    length: jnp.ndarray
     k_scale: Optional[jnp.ndarray] = None  # [L, B, Smax, Hkv, 1] f32
     v_scale: Optional[jnp.ndarray] = None
 
@@ -319,19 +322,39 @@ def _attention_block(
             )
             new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
         else:
-            if quant:
-                ks_full = jax.lax.dynamic_update_slice(
-                    ks_full, k_sc[None], (layer_idx, 0, cache_len, 0, 0)
+            if cache_len.ndim == 1:
+                # Ragged batched decode: each row's tokens stay contiguously
+                # packed, so the new token scatters at that row's frontier
+                # and the plain causal mask (slot index vs per-row q
+                # position) excludes the garbage beyond it.
+                if s != 1:
+                    raise ValueError(
+                        "per-row cache lengths only support 1-token steps"
+                    )
+                bidx = jnp.arange(b)
+
+                def row_write(buf, new):
+                    return buf.at[layer_idx, bidx, cache_len].set(new[:, 0])
+
+                if quant:
+                    ks_full = row_write(ks_full, k_sc)
+                    vs_full = row_write(vs_full, v_sc)
+                ck_full = row_write(ck_full, k_w)
+                cv_full = row_write(cv_full, v_w)
+            else:
+                if quant:
+                    ks_full = jax.lax.dynamic_update_slice(
+                        ks_full, k_sc[None], (layer_idx, 0, cache_len, 0, 0)
+                    )
+                    vs_full = jax.lax.dynamic_update_slice(
+                        vs_full, v_sc[None], (layer_idx, 0, cache_len, 0, 0)
+                    )
+                ck_full = jax.lax.dynamic_update_slice(
+                    ck_full, k_w[None], (layer_idx, 0, cache_len, 0, 0)
                 )
-                vs_full = jax.lax.dynamic_update_slice(
-                    vs_full, v_sc[None], (layer_idx, 0, cache_len, 0, 0)
+                cv_full = jax.lax.dynamic_update_slice(
+                    cv_full, v_w[None], (layer_idx, 0, cache_len, 0, 0)
                 )
-            ck_full = jax.lax.dynamic_update_slice(
-                ck_full, k_w[None], (layer_idx, 0, cache_len, 0, 0)
-            )
-            cv_full = jax.lax.dynamic_update_slice(
-                cv_full, v_w[None], (layer_idx, 0, cache_len, 0, 0)
-            )
             new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
             ck = jax.lax.dynamic_index_in_dim(ck_full, layer_idx, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_full, layer_idx, keepdims=False)

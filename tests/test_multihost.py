@@ -85,7 +85,9 @@ def test_execute_request_shared_path(tmp_path):
     payload = execute_request(eng, req)
     assert payload == {"text": ["ok", "ok"], "logprobs": [[-0.1], [-0.1]]}
     assert len(eng.calls) == 2
-    assert eng.mm.max_num_frame == 7
+    # per-request frame budget rides the call, never mutates shared state
+    assert eng.mm.max_num_frame == 0
+    assert eng.calls[0][1]["max_num_frame"] == 7
     sampling = eng.calls[0][1]["sampling"]
     assert sampling.max_new_tokens == 3 and sampling.greedy
     assert sampling.stop_token_ids == (198,)
