@@ -296,7 +296,9 @@ class PackedDataset:
 # ---------------------------------------------------------------------------
 
 
-def collate_packs(packs: list[Pack], logit_budget: int) -> dict:
+def collate_packs(
+    packs: list[Pack], logit_budget: int, on_drop: str = "error"
+) -> dict:
     """Batch packs into the train_step contract (training/train_step.py).
 
     images concatenate on tile dim; image_indices concatenate on the tile
@@ -322,11 +324,18 @@ def collate_packs(packs: list[Pack], logit_budget: int) -> dict:
         shifted, logit_budget
     )
     if dropped:
-        logger.warning(
-            "logit budget %d dropped %d supervised rows — raise "
-            "data.logit_budget (dense-SFT stages want budget = seq_len)",
-            logit_budget, dropped,
+        # A silently-shrunk loss is the worst failure mode (a dense-SFT run
+        # with the old default budget 4096 at seq 16,384 would train on
+        # <=25% of its supervision after one log line) — fail loudly unless
+        # the recipe explicitly opts in (data.allow_logit_drop).
+        msg = (
+            f"logit budget {logit_budget} dropped {dropped} supervised "
+            "rows — raise data.logit_budget (dense-SFT stages want "
+            "budget = seq_len) or set data.allow_logit_drop: true"
         )
+        if on_drop == "error":
+            raise ValueError(msg)
+        logger.warning(msg)
 
     images = [p.images for p in packs if p.images is not None]
     indices = []

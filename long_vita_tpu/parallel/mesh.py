@@ -70,6 +70,48 @@ def make_mesh(
     return Mesh(arr, AXES)
 
 
+def validate_geometry(text_cfg, mesh_cfg: MeshConfig, seq_len: int = 0):
+    """Fail fast when a model geometry cannot shard over a mesh.
+
+    The reference validates these per-flag in arguments.py (_validate_cp_args
+    :172-254 + TP divisibility asserts inside tensor_parallel/layers.py);
+    here one call covers the 72B tp8/pp8 recipe class before any compile.
+    """
+    errs = []
+    tp, pp, cp = mesh_cfg.tp, mesh_cfg.pp, mesh_cfg.cp
+    if text_cfg.num_attention_heads % tp:
+        errs.append(
+            f"attention heads {text_cfg.num_attention_heads} % tp {tp} != 0"
+        )
+    if text_cfg.num_key_value_heads % tp and tp % text_cfg.num_key_value_heads:
+        errs.append(
+            f"kv heads {text_cfg.num_key_value_heads} incompatible with tp "
+            f"{tp} (need kv%tp==0 or tp%kv==0)"
+        )
+    if text_cfg.vocab_size % tp:
+        errs.append(f"vocab {text_cfg.vocab_size} % tp {tp} != 0")
+    if text_cfg.intermediate_size % tp:
+        errs.append(
+            f"intermediate {text_cfg.intermediate_size} % tp {tp} != 0"
+        )
+    if text_cfg.num_hidden_layers % pp:
+        errs.append(
+            f"layers {text_cfg.num_hidden_layers} % pp {pp} != 0"
+        )
+    if pp > 1 and cp > 1:
+        errs.append("pp and cp are mutually exclusive (pipeline runs cp=1)")
+    if seq_len and cp > 1 and seq_len % (2 * cp):
+        errs.append(
+            f"seq_len {seq_len} % 2*cp {2 * cp} != 0 (zigzag needs 2cp "
+            "equal chunks)"
+        )
+    if errs:
+        raise ValueError(
+            "model geometry cannot shard over mesh "
+            f"{mesh_cfg}: " + "; ".join(errs)
+        )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

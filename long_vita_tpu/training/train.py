@@ -61,6 +61,7 @@ def build_from_recipe(recipe: dict):
         profile_steps=(
             tuple(run["profile_steps"]) if run.get("profile_steps") else None
         ),
+        allow_logit_drop=data_cfg.get("allow_logit_drop", False),
     )
 
     from long_vita_tpu.tokenizer import load_tokenizer

@@ -68,6 +68,8 @@ class TrainerConfig:
     straggler_threshold: float = 2.0  # warn when a step takes > thr x median
     output_dir: Optional[str] = None  # metrics.jsonl / print_batch / profile
     profile_steps: Optional[tuple[int, int]] = None  # (start, stop) trace
+    allow_logit_drop: bool = False  # True: warn (not fail) when the logit
+    # budget drops supervised rows — only for deliberately-sparse recipes
 
 
 def batch_iterator(
@@ -77,6 +79,7 @@ def batch_iterator(
     cp: int,
     cp_algo: str = "ring",
     cp_inner: int = 1,
+    on_drop: str = "error",
 ) -> Iterator[dict]:
     """Group packs into batches; zigzag-permute for ring context
     parallelism. Ulysses keeps contiguous shards; hybrid zigzags over the
@@ -91,7 +94,7 @@ def batch_iterator(
         buf.append(pack)
         if len(buf) < batch_size:
             continue
-        batch = collate_packs(buf, logit_budget)
+        batch = collate_packs(buf, logit_budget, on_drop=on_drop)
         buf = []
         if cp > 1:
             seq_len = batch["tokens"].shape[1]
@@ -118,6 +121,9 @@ class Trainer:
     ):
         self.cfg = cfg
         self.tcfg = tcfg
+        from long_vita_tpu.parallel.mesh import validate_geometry
+
+        validate_geometry(cfg.text, tcfg.mesh, seq_len=tcfg.seq_len)
         self.mesh = make_mesh(tcfg.mesh) if tcfg.mesh.size > 1 else None
         self.tx = make_optimizer(
             params, tcfg.optim,
@@ -281,6 +287,7 @@ def make_data_pipeline(
         batch_iterator(
             iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
             tcfg.cp_algo, tcfg.cp_inner,
+            on_drop="warn" if tcfg.allow_logit_drop else "error",
         ),
         depth=2,
     )

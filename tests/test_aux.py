@@ -39,6 +39,7 @@ def engine():
     )
 
 
+@pytest.mark.slow
 def test_beam_search_beats_greedy_score(engine):
     ids = engine.mm.tokenizer("tell me a story", add_special_tokens=False).input_ids
     hyps = beam_search(engine, ids, beam_size=3, max_new_tokens=6, num_return=3)

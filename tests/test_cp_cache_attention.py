@@ -31,6 +31,7 @@ def _run(q, k, v, q_offset, cache_len):
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+@pytest.mark.slow
 def test_chunked_prefill_step(hq, hkv):
     """A query chunk mid-prefill attends the sharded cache correctly."""
     rng = np.random.default_rng(0)

@@ -74,6 +74,7 @@ def test_flash_segment_ids():
 
 
 @pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.slow
 def test_flash_gradients_match_xla(causal):
     rng = np.random.default_rng(4)
     q, k, v = _rand_qkv(rng, 1, 256, 256, 4, 2, 64)
@@ -95,6 +96,7 @@ def test_flash_gradients_match_xla(causal):
         )
 
 
+@pytest.mark.slow
 def test_flash_gradients_with_segments():
     rng = np.random.default_rng(5)
     q, k, v = _rand_qkv(rng, 1, 256, 256, 2, 2, 64)
@@ -129,6 +131,7 @@ def test_flash_gradients_with_segments():
 
 
 @pytest.mark.parametrize("causal,sq", [(False, 1025), (True, 1537)])
+@pytest.mark.slow
 def test_flash_gradients_ragged_default_blocks(causal, sq):
     """Ragged seqs at DEFAULT blocks: the fwd pads to 576 multiples but the
     bwd caps block_kv at 512, which doesn't divide the fwd padding — the

@@ -40,6 +40,7 @@ def _run(q, k, v, seg=None):
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+@pytest.mark.slow
 def test_hybrid_matches_full(hq, hkv):
     rng = np.random.default_rng(0)
     b, s, d = 1, 16 * CP, 16
@@ -56,6 +57,7 @@ def test_hybrid_matches_full(hq, hkv):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_hybrid_grad_and_segments():
     rng = np.random.default_rng(1)
     b, s, h, d = 1, 16 * CP, 4, 16

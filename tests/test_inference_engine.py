@@ -102,6 +102,7 @@ def test_sampler_topk_topp():
     assert int(p[0]) == 2
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single_device(engine):
     """TP-sharded engine (8-dev mesh) must reproduce single-device greedy."""
     import numpy as np
@@ -121,6 +122,7 @@ def test_sharded_engine_matches_single_device(engine):
     assert a.token_ids == b.token_ids
 
 
+@pytest.mark.slow
 def test_cp_sharded_cache_engine(engine):
     """cp>1 engine (sequence-sharded KV cache) matches single-device."""
     import numpy as np
@@ -172,6 +174,7 @@ def test_kv_quant_engine_close_to_fp(engine):
     assert a.token_ids[:2] == b.token_ids[:2]
 
 
+@pytest.mark.slow
 def test_cp_plus_quant_engine(engine):
     """cp-sharded int8 cache: first greedy tokens track single-device."""
     import numpy as np
@@ -191,6 +194,7 @@ def test_cp_plus_quant_engine(engine):
     assert a.token_ids[:2] == b.token_ids[:2]
 
 
+@pytest.mark.slow
 def test_beam_size_one_matches_greedy(engine):
     """beam_size=1 with no length penalty must walk the greedy path."""
     from long_vita_tpu.inference.beam_search import beam_search
@@ -284,6 +288,7 @@ def test_generate_batch_with_images(engine):
         assert s.token_ids == b.token_ids
 
 
+@pytest.mark.slow
 def test_beam_on_tp_mesh(engine):
     """Beam search runs through the engine's mesh (VERDICT #7: the round-1
     beam built an unsharded jit step and could not run on a mesh)."""
@@ -304,6 +309,7 @@ def test_beam_on_tp_mesh(engine):
     assert [h.token_ids for h in a] == [h.token_ids for h in b]
 
 
+@pytest.mark.slow
 def test_beam_on_cp_mesh(engine):
     """Beam decode against a cp-sharded (sequence-sharded) KV cache."""
     from long_vita_tpu.inference.beam_search import beam_search

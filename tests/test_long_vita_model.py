@@ -1,4 +1,5 @@
 """Full-VLM glue tests: image-feature scatter, logits-masked head, KV cache."""
+import pytest
 import numpy as np
 
 import jax
@@ -24,6 +25,7 @@ def test_merge_image_embeddings_scatter():
     assert float(out[1, 3, 0]) == 0.0
 
 
+@pytest.mark.slow
 def test_vlm_forward_with_images_and_logit_mask():
     cfg = tiny_test_config()
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg)
@@ -62,6 +64,7 @@ def test_vlm_forward_with_images_and_logit_mask():
     )
 
 
+@pytest.mark.slow
 def test_vlm_prefill_then_decode_consistency():
     cfg = tiny_test_config()
     params = init_long_vita_params(jax.random.PRNGKey(1), cfg)

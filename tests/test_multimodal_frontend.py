@@ -120,6 +120,7 @@ def test_anyres_tiling():
     assert t2.shape == tiles.shape or t2.shape[0] == n_crops + 1
 
 
+@pytest.mark.slow
 def test_special_token_ids_match_reference_runtime():
     """Production loader: Qwen built-ins (<=151664) from tokenizer_config,
     then the 17 multimodal tokens appended at 151665+ exactly as the

@@ -47,6 +47,7 @@ def test_pipeline_matches_sequential():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grad():
     rng = np.random.default_rng(1)
     n_layers, h, m, b = 4, 8, 4, 1
@@ -73,6 +74,7 @@ def test_pipeline_grad():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_decoder_pipeline_matches_plain():
     """PP decoder (pp=4, microbatches=4) == plain scan decoder."""
     import jax.numpy as jnp

@@ -98,6 +98,7 @@ def test_logits_match_hf(hf_model):
     np.testing.assert_allclose(logits, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full_forward(hf_model):
     cfg = tiny_test_config().text
     params = hf_to_jax_params(hf_model, cfg)
@@ -134,6 +135,7 @@ def test_kv_cache_decode_matches_full_forward(hf_model):
     assert int(cache.length) == 12
 
 
+@pytest.mark.slow
 def test_packed_segment_isolation():
     """Two sequences packed with segment ids == the same run separately."""
     cfg = tiny_test_config().text

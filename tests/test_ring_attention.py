@@ -41,6 +41,7 @@ def _ring(q, k, v, mesh, seg=None):
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 4)])
+@pytest.mark.slow
 def test_ring_matches_full_attention(hq, hkv):
     mesh = _mesh()
     rng = np.random.default_rng(0)
@@ -59,6 +60,7 @@ def test_ring_matches_full_attention(hq, hkv):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_gradients_match_full_attention():
     mesh = _mesh()
     rng = np.random.default_rng(1)
@@ -85,6 +87,7 @@ def test_ring_gradients_match_full_attention():
         )
 
 
+@pytest.mark.slow
 def test_ring_with_segment_ids():
     mesh = _mesh()
     rng = np.random.default_rng(2)

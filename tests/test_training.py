@@ -59,11 +59,12 @@ def _pipeline(mm, tcfg):
     )
 
 
+@pytest.mark.slow
 def test_train_loop_single_device_loss_decreases(mm):
     cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     tcfg = TrainerConfig(
-        seq_len=128, logit_budget=32, global_batch=1, steps=8,
+        seq_len=128, logit_budget=64, global_batch=1, steps=8,
         mesh=MeshConfig(), optim=OptimizerConfig(lr=3e-3, total_steps=8),
         remat=False,
     )
@@ -77,11 +78,12 @@ def test_train_loop_single_device_loss_decreases(mm):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_train_loop_sharded_with_ring(mm):
     cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     tcfg = TrainerConfig(
-        seq_len=128, logit_budget=32, global_batch=2, steps=2,
+        seq_len=128, logit_budget=64, global_batch=2, steps=2,
         mesh=MeshConfig(dp=2, cp=2, tp=2),
         optim=OptimizerConfig(lr=1e-3, total_steps=2, freeze_vision=True),
         remat=True,
@@ -93,9 +95,9 @@ def test_train_loop_sharded_with_ring(mm):
 
 def test_zigzag_batch_consistency(mm):
     """cp=1 and cp=2 pipelines must supervise identical (token, label) pairs."""
-    tcfg1 = TrainerConfig(seq_len=128, logit_budget=32, global_batch=1,
+    tcfg1 = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
                           mesh=MeshConfig())
-    tcfg2 = TrainerConfig(seq_len=128, logit_budget=32, global_batch=1,
+    tcfg2 = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
                           mesh=MeshConfig(cp=2, dp=1, tp=1))
     b1 = next(_pipeline(mm, tcfg1))
     b2 = next(_pipeline(mm, tcfg2))
@@ -107,6 +109,7 @@ def test_zigzag_batch_consistency(mm):
     np.testing.assert_array_equal(t1, t2)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, mm):
     cfg = tiny_test_config(vocab_size=512)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
@@ -142,6 +145,7 @@ def test_checkpoint_roundtrip(tmp_path, mm):
     )
 
 
+@pytest.mark.slow
 def test_fsdp_matches_replicated(mm):
     """FSDP-sharded params give the same first-step loss as replicated."""
     cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
@@ -149,7 +153,7 @@ def test_fsdp_matches_replicated(mm):
 
     def one_step(fsdp):
         tcfg = TrainerConfig(
-            seq_len=128, logit_budget=32, global_batch=2, steps=1,
+            seq_len=128, logit_budget=64, global_batch=2, steps=1,
             mesh=MeshConfig(dp=2, cp=2, tp=2),
             optim=OptimizerConfig(lr=1e-3, total_steps=1), remat=False,
             fsdp=fsdp,
@@ -163,6 +167,7 @@ def test_fsdp_matches_replicated(mm):
     assert abs(a - b) < 1e-4, (a, b)
 
 
+@pytest.mark.slow
 def test_train_step_with_pipeline_parallel(mm):
     """One train step on a pp=4 x tp=2 mesh (72B-recipe shape, tiny model)."""
     import dataclasses as dc
@@ -171,7 +176,7 @@ def test_train_step_with_pipeline_parallel(mm):
     cfg = dc.replace(base, text=dc.replace(base.text, num_hidden_layers=4))
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     tcfg = TrainerConfig(
-        seq_len=128, logit_budget=32, global_batch=4, steps=1,
+        seq_len=128, logit_budget=64, global_batch=4, steps=1,
         mesh=MeshConfig(dp=1, pp=4, cp=1, tp=2),
         optim=OptimizerConfig(lr=1e-3, total_steps=1, freeze_vision=True),
         remat=False,
@@ -184,13 +189,14 @@ def test_train_step_with_pipeline_parallel(mm):
 def test_evaluate_loop(mm):
     cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
-    tcfg = TrainerConfig(seq_len=128, logit_budget=32, global_batch=1,
+    tcfg = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
                          steps=1, mesh=MeshConfig(), remat=False)
     trainer = Trainer(params, cfg, tcfg)
     out = trainer.evaluate(_pipeline(mm, tcfg), max_steps=2)
     assert np.isfinite(out["loss"]) and out["tokens"] > 0
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_roundtrip(tmp_path, mm):
     """orbax save/restore of a dp2cp2tp2-sharded train state."""
     from long_vita_tpu.training.checkpoint import load_checkpoint, save_checkpoint

@@ -37,6 +37,7 @@ def _run(q, k, v, seg=None):
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+@pytest.mark.slow
 def test_ulysses_matches_full(hq, hkv):
     rng = np.random.default_rng(0)
     b, s, d = 1, 8 * CP, 16
@@ -49,6 +50,7 @@ def test_ulysses_matches_full(hq, hkv):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ulysses_segments_and_grad():
     rng = np.random.default_rng(1)
     b, s, h, d = 1, 8 * CP, 4, 16
