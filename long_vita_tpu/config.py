@@ -64,6 +64,13 @@ class TextConfig:
     hidden_act: str = "silu"
     bos_token_id: int = 151643
     eos_token_id: int = 151645
+    # Mixture-of-experts (reference plumbing: arguments.py:284-335 +
+    # EPxCP group coexistence parallel_state.py:123-169). num_experts == 0
+    # keeps the dense SwiGLU MLP.
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_coef: float = 0.01
 
     @property
     def head_dim(self) -> int:
@@ -107,7 +114,23 @@ def long_vita_14b() -> LongVITAConfig:
     return LongVITAConfig()
 
 
-def tiny_test_config(vocab_size: int = 512) -> LongVITAConfig:
+def long_vita_72b() -> LongVITAConfig:
+    """Qwen2.5-72B decoder + InternViT-300M (reference
+    scripts/megatron/qwen25/finetune_qwen25_72b_..._tp8pp8_stage1.sh)."""
+    return LongVITAConfig(
+        text=TextConfig(
+            hidden_size=8192,
+            intermediate_size=29568,
+            num_hidden_layers=80,
+            num_attention_heads=64,
+            num_key_value_heads=8,
+        )
+    )
+
+
+def tiny_test_config(
+    vocab_size: int = 512, num_experts: int = 0
+) -> LongVITAConfig:
     """A miniature geometry for fast tests (same structural shape)."""
     return LongVITAConfig(
         text=TextConfig(
@@ -119,6 +142,7 @@ def tiny_test_config(vocab_size: int = 512) -> LongVITAConfig:
             num_key_value_heads=2,
             rope_theta=1e4,
             max_position_embeddings=2048,
+            num_experts=num_experts,
         ),
         vision=VisionConfig(
             hidden_size=32,

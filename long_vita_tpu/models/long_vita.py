@@ -88,7 +88,8 @@ def long_vita_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     parallel=None,
-) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    return_aux: bool = False,
+):
     """Full VLM forward.
 
     logit_positions: optional [B, M] seq positions at which to compute logits
@@ -107,7 +108,7 @@ def long_vita_forward(
             inputs_embeds, image_embeds, image_indices
         )
 
-    hidden, new_cache = qwen2_decoder(
+    hidden, new_cache, aux = qwen2_decoder(
         params["text"],
         inputs_embeds,
         position_ids,
@@ -117,6 +118,7 @@ def long_vita_forward(
         attn_impl=attn_impl,
         remat=remat,
         parallel=parallel,
+        return_aux=True,
     )
 
     if logit_positions is not None:
@@ -124,6 +126,8 @@ def long_vita_forward(
             hidden, logit_positions[:, :, None], axis=1
         )
     logits = qwen2.lm_head(params["text"], hidden)
+    if return_aux:
+        return logits, new_cache, aux
     return logits, new_cache
 
 

@@ -419,10 +419,71 @@ def _attention_block(
     return out, new_cache_kv
 
 
-def _mlp_block(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _mlp_block(
+    layer: Params,
+    x: jnp.ndarray,
+    cfg: Optional[TextConfig] = None,
+    parallel: Optional["ParallelConfig"] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense SwiGLU, or the MoE MLP when the layer carries a router.
+
+    -> (out, aux_loss). Expert parallelism rides the dp axis (the reference
+    regenerates EP groups to coexist with CP, parallel_state.py:123-169;
+    here experts shard over dp while cp/tp stay GSPMD-auto inside a
+    partial-manual shard_map)."""
+    if "router" in layer:
+        return _moe_mlp_block(layer, x, cfg, parallel)
     gate = x @ layer["gate_proj"]["kernel"]
     up = x @ layer["up_proj"]["kernel"]
-    return (jax.nn.silu(gate) * up) @ layer["down_proj"]["kernel"]
+    out = (jax.nn.silu(gate) * up) @ layer["down_proj"]["kernel"]
+    return out, jnp.zeros((), jnp.float32)
+
+
+def _moe_mlp_block(
+    layer: Params,
+    x: jnp.ndarray,
+    cfg: Optional[TextConfig],
+    parallel: Optional["ParallelConfig"],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    from long_vita_tpu.ops.moe import moe_mlp
+
+    top_k = cfg.moe_top_k if cfg is not None else 2
+    cap = cfg.moe_capacity_factor if cfg is not None else 1.25
+    moe_params = {"router": layer["router"], "experts": layer["experts"]}
+    if parallel is not None:
+        from jax.sharding import PartitionSpec as P
+
+        dp = parallel.mesh.shape.get(parallel.axis_dp, 1)
+        n_experts = layer["experts"]["gate"].shape[0]
+        if dp > 1 and n_experts % dp == 0:
+            def body(router_, gate_, up_, down_, x_):
+                out, aux = moe_mlp(
+                    {"router": {"kernel": router_},
+                     "experts": {"gate": gate_, "up": up_, "down": down_}},
+                    x_, top_k=top_k, capacity_factor=cap,
+                    axis_name=parallel.axis_dp,
+                )
+                return out, jax.lax.pmean(aux, parallel.axis_dp)
+
+            fn = jax.shard_map(
+                body,
+                mesh=parallel.mesh,
+                in_specs=(
+                    P(),                      # router: replicated over dp
+                    P(parallel.axis_dp),      # experts: E over dp (EP)
+                    P(parallel.axis_dp),
+                    P(parallel.axis_dp),
+                    P(parallel.axis_dp),      # tokens: batch over dp
+                ),
+                out_specs=(P(parallel.axis_dp), P()),
+                axis_names={parallel.axis_dp},
+            )
+            return fn(
+                layer["router"]["kernel"], layer["experts"]["gate"],
+                layer["experts"]["up"], layer["experts"]["down"], x,
+            )
+    out, aux = moe_mlp(moe_params, x, top_k=top_k, capacity_factor=cap)
+    return out, aux
 
 
 def decoder_layer(
@@ -452,8 +513,12 @@ def decoder_layer(
         parallel,
     )
     x = x + attn_out
-    x = x + _mlp_block(layer, rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps))
-    return x, new_cache_kv
+    mlp_out, aux = _mlp_block(
+        layer, rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps),
+        cfg, parallel,
+    )
+    x = x + mlp_out
+    return x, new_cache_kv, aux
 
 
 def qwen2_decoder(
@@ -467,31 +532,34 @@ def qwen2_decoder(
     attn_impl: str = "auto",
     remat: bool = False,
     parallel: Optional[ParallelConfig] = None,
-) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    return_aux: bool = False,
+):
     """Run the stacked decoder.
 
     inputs_embeds: [B, S, H]; position_ids: [B, S].
-    Returns (final_norm(hidden) [B, S, H], updated kv_cache or None).
+    Returns (final_norm(hidden) [B, S, H], updated kv_cache or None), plus
+    the summed MoE aux loss as a third element when return_aux=True.
     """
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
 
     layers = params["layers"]
+    aux0 = jnp.zeros((), jnp.float32)
 
     if kv_cache is not None:
         def body(carry, layer_and_idx):
-            x, ck, cv, ks, vs = carry
+            x, ck, cv, ks, vs, aux = carry
             layer, layer_idx = layer_and_idx
-            x, (ck, cv, ks, vs) = decoder_layer(
+            x, (ck, cv, ks, vs), aux_l = decoder_layer(
                 layer, x, cos, sin, cfg, (ck, cv, ks, vs, layer_idx),
                 kv_cache.length, position_ids, segment_ids, attn_impl,
                 parallel,
             )
-            return (x, ck, cv, ks, vs), None
+            return (x, ck, cv, ks, vs, aux + aux_l), None
 
-        (hidden, nk, nv, nks, nvs), _ = jax.lax.scan(
+        (hidden, nk, nv, nks, nvs, aux), _ = jax.lax.scan(
             body,
             (inputs_embeds, kv_cache.k, kv_cache.v,
-             kv_cache.k_scale, kv_cache.v_scale),
+             kv_cache.k_scale, kv_cache.v_scale, aux0),
             (layers, jnp.arange(cfg.num_hidden_layers)),
         )
         new_cache = KVCache(
@@ -499,25 +567,28 @@ def qwen2_decoder(
             k_scale=nks, v_scale=nvs,
         )
     elif parallel is not None and parallel.pp_size > 1:
-        hidden = _pipelined_decoder(
+        hidden, aux = _pipelined_decoder(
             layers, inputs_embeds, cos, sin, cfg, position_ids,
             segment_ids, attn_impl, parallel, remat,
         )
         new_cache = None
     else:
-        def body(x, layer):
-            x, _ = decoder_layer(
+        def body(carry, layer):
+            x, aux = carry
+            x, _, aux_l = decoder_layer(
                 layer, x, cos, sin, cfg, None, None,
                 position_ids, segment_ids, attn_impl, parallel,
             )
-            return x, None
+            return (x, aux + aux_l), None
 
         if remat:
             body = jax.checkpoint(body, policy=_remat_policy(remat))
-        hidden, _ = jax.lax.scan(body, inputs_embeds, layers)
+        (hidden, aux), _ = jax.lax.scan(body, (inputs_embeds, aux0), layers)
         new_cache = None
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    if return_aux:
+        return hidden, new_cache, aux
     return hidden, new_cache
 
 
@@ -559,22 +630,24 @@ def _pipelined_decoder(
         "cos": split(cos),
         "sin": split(sin),
         "pos": split(position_ids),
+        "aux": jnp.zeros((m,), jnp.float32),
     }
     if segment_ids is not None:
         mb["seg"] = split(segment_ids)
 
     def stage_body(stage_layers, t):
-        def layer_body(x, layer):
-            x, _ = decoder_layer(
+        def layer_body(carry, layer):
+            x, aux = carry
+            x, _, aux_l = decoder_layer(
                 layer, x, t["cos"], t["sin"], cfg, None, None,
                 t["pos"], t.get("seg"), attn_impl, None,
             )
-            return x, None
+            return (x, aux + aux_l), None
 
         if remat:
             layer_body = jax.checkpoint(layer_body, policy=_remat_policy(remat))
-        x, _ = jax.lax.scan(layer_body, t["x"], stage_layers)
-        return {**t, "x": x}
+        (x, aux), _ = jax.lax.scan(layer_body, (t["x"], t["aux"]), stage_layers)
+        return {**t, "x": x, "aux": aux}
 
     layer_specs = jax.tree.map(lambda _: P(parallel.axis_pp), layers)
     mb_specs = jax.tree.map(lambda _: P(), mb)
@@ -586,7 +659,8 @@ def _pipelined_decoder(
         axis_names={parallel.axis_pp},
     )
     out = fn(layers, mb)
-    return out["x"].reshape(b, *inputs_embeds.shape[1:])
+    hidden = out["x"].reshape(b, *inputs_embeds.shape[1:])
+    return hidden, out["aux"].sum()
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -615,28 +689,39 @@ def init_qwen2_params(
     def dense(key, shape, scale=0.02):
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
+    layers: Params = {
+        "input_norm": jnp.ones((l, h), dtype),
+        "post_attn_norm": jnp.ones((l, h), dtype),
+        "q_proj": {
+            "kernel": dense(next(keys), (l, h, hq * d)),
+            "bias": jnp.zeros((l, hq * d), dtype),
+        },
+        "k_proj": {
+            "kernel": dense(next(keys), (l, h, hkv * d)),
+            "bias": jnp.zeros((l, hkv * d), dtype),
+        },
+        "v_proj": {
+            "kernel": dense(next(keys), (l, h, hkv * d)),
+            "bias": jnp.zeros((l, hkv * d), dtype),
+        },
+        "o_proj": {"kernel": dense(next(keys), (l, hq * d, h))},
+    }
+    if cfg.num_experts > 0:
+        e = cfg.num_experts
+        layers["router"] = {"kernel": dense(next(keys), (l, h, e))}
+        layers["experts"] = {
+            "gate": dense(next(keys), (l, e, h, i)),
+            "up": dense(next(keys), (l, e, h, i)),
+            "down": dense(next(keys), (l, e, i, h)),
+        }
+    else:
+        layers["gate_proj"] = {"kernel": dense(next(keys), (l, h, i))}
+        layers["up_proj"] = {"kernel": dense(next(keys), (l, h, i))}
+        layers["down_proj"] = {"kernel": dense(next(keys), (l, i, h))}
+
     return {
         "embed": {"embedding": dense(next(keys), (cfg.vocab_size, h))},
-        "layers": {
-            "input_norm": jnp.ones((l, h), dtype),
-            "post_attn_norm": jnp.ones((l, h), dtype),
-            "q_proj": {
-                "kernel": dense(next(keys), (l, h, hq * d)),
-                "bias": jnp.zeros((l, hq * d), dtype),
-            },
-            "k_proj": {
-                "kernel": dense(next(keys), (l, h, hkv * d)),
-                "bias": jnp.zeros((l, hkv * d), dtype),
-            },
-            "v_proj": {
-                "kernel": dense(next(keys), (l, h, hkv * d)),
-                "bias": jnp.zeros((l, hkv * d), dtype),
-            },
-            "o_proj": {"kernel": dense(next(keys), (l, hq * d, h))},
-            "gate_proj": {"kernel": dense(next(keys), (l, h, i))},
-            "up_proj": {"kernel": dense(next(keys), (l, h, i))},
-            "down_proj": {"kernel": dense(next(keys), (l, i, h))},
-        },
+        "layers": layers,
         "final_norm": jnp.ones((h,), dtype),
         "lm_head": {"kernel": dense(next(keys), (h, cfg.vocab_size))},
     }

@@ -88,7 +88,7 @@ def _mask_block(
         mask = jnp.logical_and(mask, kv_pos <= q_pos)
     if qseg_ref is not None:
         mask = jnp.logical_and(
-            mask, qseg_ref[0, :][:, None] == kseg_ref[0, :][None, :]
+            mask, qseg_ref[0, 0, :][:, None] == kseg_ref[0, 0, :][None, :]
         )
     return mask
 
@@ -107,8 +107,8 @@ def _fwd_kernel(
     q_ref,  # [1, 1, BQ, D]
     k_ref,  # [1, 1, BK, D]
     v_ref,  # [1, 1, BK, D]
-    qseg_ref,  # [1, BQ] or None
-    kseg_ref,  # [1, BK] or None
+    qseg_ref,  # [1, 1, BQ] or None (middle dummy dim keeps the block's
+    kseg_ref,  # [1, 1, BK] or None  last-two dims Pallas-legal at any B)
     # outputs
     o_ref,  # [1, 1, BQ, D]
     lse_ref,  # [1, 1, 1, BQ, 1]
@@ -225,14 +225,21 @@ def _fwd(
     ]
     inputs = [q, k, v]
     if have_segs:
+        # [B, S] int blocks of (1, block) are illegal on TPU when B > 1
+        # (second-minor must divide 8 or equal the dim); a dummy middle dim
+        # makes the last-two block dims (1, block) vs array (1, S) — legal.
         in_specs += [
-            pl.BlockSpec((1, block_q), lambda b_, h, iq, jk, *_: (b_, iq)),
             pl.BlockSpec(
-                (1, block_kv),
-                lambda b_, h, iq, jk, qo, ko, klen: (b_, _clamped_jk(iq, jk, qo, ko)),
+                (1, 1, block_q), lambda b_, h, iq, jk, *_: (b_, 0, iq)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b_, h, iq, jk, qo, ko, klen: (
+                    b_, 0, _clamped_jk(iq, jk, qo, ko)
+                ),
             ),
         ]
-        inputs += [q_segment_ids, kv_segment_ids]
+        inputs += [q_segment_ids[:, None], kv_segment_ids[:, None]]
         kernel = functools.partial(
             _fwd_kernel, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,
@@ -544,12 +551,16 @@ def _bwd_impl(
     if have_segs:
         in_specs += [
             pl.BlockSpec(
-                (1, block_q),
-                lambda b_, h, jk, t, qo, ko, klen: (b_, _clamped_iq(jk, t, qo, ko)),
+                (1, 1, block_q),
+                lambda b_, h, jk, t, qo, ko, klen: (
+                    b_, 0, _clamped_iq(jk, t, qo, ko)
+                ),
             ),
-            pl.BlockSpec((1, block_kv), lambda b_, h, jk, t, *_: (b_, jk)),
+            pl.BlockSpec(
+                (1, 1, block_kv), lambda b_, h, jk, t, *_: (b_, 0, jk)
+            ),
         ]
-        inputs += [segs[0], segs[1]]
+        inputs += [segs[0][:, None], segs[1][:, None]]
         dkv_kernel = functools.partial(
             _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, num_q_blocks=n_q,
@@ -621,13 +632,17 @@ def _bwd_impl(
     inputs2 = [q, g, lse5, delta5, k, v]
     if have_segs:
         in_specs2 += [
-            pl.BlockSpec((1, block_q), lambda b_, h, iq, jk, *_: (b_, iq)),
             pl.BlockSpec(
-                (1, block_kv),
-                lambda b_, h, iq, jk, qo, ko, klen: (b_, _clamped_jk(iq, jk, qo, ko)),
+                (1, 1, block_q), lambda b_, h, iq, jk, *_: (b_, 0, iq)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b_, h, iq, jk, qo, ko, klen: (
+                    b_, 0, _clamped_jk(iq, jk, qo, ko)
+                ),
             ),
         ]
-        inputs2 += [segs[0], segs[1]]
+        inputs2 += [segs[0][:, None], segs[1][:, None]]
         dq_kernel = functools.partial(
             _bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,

@@ -30,7 +30,9 @@ from long_vita_tpu.parallel.mesh import AXIS_CP, AXIS_DP, AXIS_TP
 Params = dict[str, Any]
 
 
-def text_param_specs(fsdp: bool = False, pp: bool = False) -> Params:
+def text_param_specs(
+    fsdp: bool = False, pp: bool = False, moe: bool = False
+) -> Params:
     """PartitionSpecs matching the pytree of models/qwen2.py params.
 
     fsdp=True additionally shards the stacked layer dim [L, ...] over dp:
@@ -55,19 +57,31 @@ def text_param_specs(fsdp: bool = False, pp: bool = False) -> Params:
     bias_col = P(ldim, AXIS_TP)
     norm = P(ldim, None)
     vocab = P((AXIS_TP, AXIS_DP) if fsdp else AXIS_TP, None)
+    layers = {
+        "input_norm": norm,
+        "post_attn_norm": norm,
+        "q_proj": {"kernel": col, "bias": bias_col},
+        "k_proj": {"kernel": col, "bias": bias_col},
+        "v_proj": {"kernel": col, "bias": bias_col},
+        "o_proj": {"kernel": row},
+    }
+    if moe:
+        # EP claims the dp axis for the expert dim (so no fsdp-over-L on
+        # the expert stacks); intermediate still shards over tp like the
+        # dense col/row split
+        layers["router"] = {"kernel": P(None, None, None)}
+        layers["experts"] = {
+            "gate": P(None, AXIS_DP, None, AXIS_TP),
+            "up": P(None, AXIS_DP, None, AXIS_TP),
+            "down": P(None, AXIS_DP, AXIS_TP, None),
+        }
+    else:
+        layers["gate_proj"] = {"kernel": col}
+        layers["up_proj"] = {"kernel": col}
+        layers["down_proj"] = {"kernel": row}
     return {
         "embed": {"embedding": vocab},  # vocab-parallel
-        "layers": {
-            "input_norm": norm,
-            "post_attn_norm": norm,
-            "q_proj": {"kernel": col, "bias": bias_col},
-            "k_proj": {"kernel": col, "bias": bias_col},
-            "v_proj": {"kernel": col, "bias": bias_col},
-            "o_proj": {"kernel": row},
-            "gate_proj": {"kernel": col},
-            "up_proj": {"kernel": col},
-            "down_proj": {"kernel": row},
-        },
+        "layers": layers,
         "final_norm": P(None),
         "lm_head": {
             "kernel": P(None, (AXIS_TP, AXIS_DP) if fsdp else AXIS_TP)
@@ -84,7 +98,8 @@ def long_vita_param_specs(
 ) -> Params:
     """Specs for the full VLM param pytree (vision/projector replicated —
     the 300M tower is cheaper gathered than streamed)."""
-    specs: Params = {"text": text_param_specs(fsdp, pp)}
+    moe = "router" in params["text"]["layers"]
+    specs: Params = {"text": text_param_specs(fsdp, pp, moe)}
     if "vision" in params:
         specs["vision"] = _replicate_like(params["vision"])
         specs["projector"] = _replicate_like(params["projector"])

@@ -55,7 +55,7 @@ def loss_fn(
     remat: bool,
     vision_chunk: int = 0,
 ):
-    logits, _ = long_vita_forward(
+    logits, _, aux = long_vita_forward(
         params,
         batch["tokens"],
         batch["positions"],
@@ -67,9 +67,15 @@ def loss_fn(
         vision_chunk=vision_chunk,
         remat=remat,
         parallel=parallel,
+        return_aux=True,
     )
     loss_sum, count = cross_entropy(logits, batch["labels"])
-    return loss_sum / jnp.maximum(count, 1.0), count
+    loss = loss_sum / jnp.maximum(count, 1.0)
+    if cfg.text.num_experts > 0:
+        # MoE load-balancing term (Switch aux loss; reference
+        # --moe-aux-loss-coeff plumbing, arguments.py:284-335)
+        loss = loss + cfg.text.moe_aux_loss_coef * aux
+    return loss, count
 
 
 def make_train_step(
@@ -86,9 +92,17 @@ def make_train_step(
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
     pp = mesh.shape.get("pp", 1) if mesh is not None else 1
+    # expert parallelism rides the dp axis and needs the mesh context even
+    # when cp == 1 (reference EPxCP coexistence, parallel_state.py:123-169)
+    moe_ep = (
+        cfg.text.num_experts > 0
+        and mesh is not None
+        and mesh.shape.get("dp", 1) > 1
+        and cfg.text.num_experts % mesh.shape.get("dp", 1) == 0
+    )
     parallel = (
         ParallelConfig(mesh, cp_algo=cp_algo, cp_inner=cp_inner)
-        if (mesh is not None and (use_ring or pp > 1)) else None
+        if (mesh is not None and (use_ring or pp > 1 or moe_ep)) else None
     )
     if parallel is not None and pp > 1:
         assert mesh.shape.get("cp", 1) == 1, "PP and CP are mutually exclusive"
