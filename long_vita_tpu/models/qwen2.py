@@ -47,6 +47,7 @@ class ParallelConfig:
     axis_tp: str = "tp"
     cp_algo: str = "ring"  # "ring" (zigzag) | "ulysses" (head a2a) | "hybrid"
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
+    cp_window: int = 0  # double-ring: ranks per inner window (0 = plain)
     axis_pp: str = "pp"
     microbatches: int = 0  # pipeline microbatches (0 -> pp size)
 
@@ -183,13 +184,15 @@ def _cp_attention_sharded(
             args = (q, k, v, segment_ids)
     elif segment_ids is None:
         body = lambda q_, k_, v_: ring_attention(
-            q_, k_, v_, parallel.axis_cp, False, 1, None, None
+            q_, k_, v_, parallel.axis_cp, False, 1, None, None,
+            parallel.cp_window,
         )
         in_specs = (spec, spec, spec)
         args = (q, k, v)
     else:
         body = lambda q_, k_, v_, s_: ring_attention(
-            q_, k_, v_, parallel.axis_cp, True, 1, s_, s_
+            q_, k_, v_, parallel.axis_cp, True, 1, s_, s_,
+            parallel.cp_window,
         )
         in_specs = (spec, spec, spec, sspec)
         args = (q, k, v, segment_ids)

@@ -53,7 +53,17 @@ DEFAULT_BLOCK_KV = 1024
 # Keep caps powers of two so they divide any legal forward block size.
 BWD_BLOCK_Q_CAP = 1024
 BWD_BLOCK_KV_CAP = 512
+# Fused one-pass backward: dq partials are materialized once per kv MAJOR
+# block (splash-attention pattern) — the bigger the major block, the fewer
+# dq partial copies, bounded by the f32 dk/dv accumulators in VMEM.
+BWD_BLOCK_KV_MAJOR = 2048
+_FUSED_BWD = True  # env LVT_FUSED_BWD=0 falls back to the two-pass kernels
 _LANE = 128
+
+import os as _os  # noqa: E402
+
+if _os.environ.get("LVT_FUSED_BWD") == "0":
+    _FUSED_BWD = False
 
 
 def _interpret() -> bool:
@@ -427,6 +437,252 @@ def _bwd_dq_kernel(
         dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    qo_ref, ko_ref, klen_ref,
+    k_ref,  # [1, 1, BKC, D] (compute granularity)
+    v_ref,
+    q_ref,  # [1, 1, BQ, D]
+    do_ref,
+    lse_ref,  # [1, 1, 1, BQ, 1]
+    delta_ref,
+    qseg_ref, kseg_ref,  # [1, 1, BQ] / [1, 1, BKC] or None
+    dq_ref,  # [1, 1, 1, BQ, D] out (partials over kv-major blocks)
+    dk_ref,  # [1, 1, BKM, D] out
+    dv_ref,
+    dq_acc,  # [BQ, D] f32
+    dk_acc,  # [BKM, D] f32
+    dv_acc,
+    *, causal, sm_scale, block_q, block_kv, n_sub, num_q_blocks, group,
+):
+    """ONE pass over the logits per (q, kv) block pair: s/p/dp/ds are
+    computed once and feed dv, dk AND dq (the two-pass split recomputes
+    s and dp in the dq kernel — 2 of 8 backward matmul-units wasted).
+
+    grid: (B, n_kv_major, Hq, n_q, n_sub) —
+      - dk/dv accumulate in a kv-MAJOR-sized f32 scratch across the whole
+        GQA group x q blocks x kv sub-blocks (out block index constant).
+      - dq accumulates across the kv sub-blocks of one major block and is
+        written as a PARTIAL (summed over major blocks outside the kernel,
+        the splash-attention fused-backward pattern: accumulation across a
+        non-innermost grid dim is not expressible as block revisits).
+    """
+    jkM = pl.program_id(1)
+    h = pl.program_id(2)
+    iq = pl.program_id(3)
+    jks = pl.program_id(4)
+    jk = jkM * n_sub + jks  # compute-granularity kv block index
+
+    q_off = qo_ref[0]
+    k_off = ko_ref[0]
+    k_len = klen_ref[0]
+    g_idx = jax.lax.rem(h, group)
+
+    @pl.when(jnp.logical_and(
+        g_idx == 0, jnp.logical_and(iq == 0, jks == 0)
+    ))
+    def _init_dkv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(jks == 0)
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    kv_blk_min = k_off + jk * block_kv
+    q_blk_max = q_off + (iq + 1) * block_q - 1
+    compute = jk * block_kv < k_len
+    if causal:
+        compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+
+    @pl.when(compute)
+    def _step():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0]  # [BQ, 1]
+        delta = delta_ref[0, 0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [BQ, BKC]
+        mask = _mask_block(
+            q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+            qseg_ref, kseg_ref,
+        )
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+
+        sub = pl.multiple_of(jks * block_kv, block_kv)
+        dv_acc[pl.ds(sub, block_kv), :] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_acc[pl.ds(sub, block_kv), :] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jks == n_sub - 1)
+    def _write_dq():
+        dq_ref[0, 0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+    @pl.when(jnp.logical_and(
+        g_idx == group - 1,
+        jnp.logical_and(iq == num_q_blocks - 1, jks == n_sub - 1),
+    ))
+    def _write_dkv():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_fused_impl(
+    q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
+    causal, block_q, block_kv, true_head_dim,
+):
+    """Fused one-pass backward. Shapes as _bwd_impl; skv_pad must divide
+    into kv-major blocks (the caller re-pads)."""
+    b, hq, sq_pad, d_pad = q.shape
+    hkv, skv_pad = k.shape[1], k.shape[2]
+    group = hq // hkv
+    n_q = sq_pad // block_q
+    n_kv = skv_pad // block_kv
+    # major block = largest n_sub dividing n_kv with n_sub*bk <= MAJOR cap
+    n_sub = 1
+    for cand in range(min(n_kv, BWD_BLOCK_KV_MAJOR // block_kv), 0, -1):
+        if n_kv % cand == 0:
+            n_sub = cand
+            break
+    n_kv_major = n_kv // n_sub
+    block_kv_major = n_sub * block_kv
+    sm_scale = 1.0 / (true_head_dim ** 0.5)
+
+    lse5 = lse.reshape(b, hq, n_q, block_q, 1)
+    delta5 = delta.reshape(b, hq, n_q, block_q, 1)
+    g = g.astype(q.dtype)
+    have_segs = segs[0] is not None
+
+    def _clamped_jk(iq, jk, qo, ko):
+        """Causal DMA elision: clamp past-diagonal kv blocks."""
+        if not causal:
+            return jk
+        q_blk_max = qo[0] + (iq + 1) * block_q - 1
+        diag = jax.lax.div(q_blk_max - ko[0], block_kv)
+        return jnp.clip(jnp.minimum(jk, diag), 0, n_kv - 1)
+
+    def _clamped_iq(jkM, iq, qo, ko):
+        """Causal DMA elision: clamp q blocks above the kv-major start."""
+        if not causal:
+            return iq
+        kv_blk_min = ko[0] + jkM * block_kv_major
+        diag = jax.lax.div(kv_blk_min - qo[0], block_q)
+        return jnp.clip(jnp.maximum(iq, diag), 0, n_q - 1)
+
+    def kv_index(b_, jkM, h, iq, jks, qo, ko, klen):
+        return (
+            b_, h // group,
+            _clamped_jk(iq, jkM * n_sub + jks, qo, ko), 0,
+        )
+
+    def q_index(b_, jkM, h, iq, jks, qo, ko, klen):
+        return (b_, h, _clamped_iq(jkM, iq, qo, ko), 0)
+
+    def lse_index(b_, jkM, h, iq, jks, qo, ko, klen):
+        return (b_, h, _clamped_iq(jkM, iq, qo, ko), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+        pl.BlockSpec((1, 1, 1, block_q, 1), lse_index),
+        pl.BlockSpec((1, 1, 1, block_q, 1), lse_index),
+    ]
+    inputs = [k, v, q, g, lse5, delta5]
+    if have_segs:
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, block_q),
+                lambda b_, jkM, h, iq, jks, qo, ko, klen: (
+                    b_, 0, _clamped_iq(jkM, iq, qo, ko)
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b_, jkM, h, iq, jks, qo, ko, klen: (
+                    b_, 0, _clamped_jk(iq, jkM * n_sub + jks, qo, ko)
+                ),
+            ),
+        ]
+        inputs += [segs[0][:, None], segs[1][:, None]]
+        kernel = functools.partial(
+            _bwd_fused_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, n_sub=n_sub,
+            num_q_blocks=n_q, group=group,
+        )
+    else:
+        def kernel(qo, ko, klen, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dk_ref, dv_ref, dqa, dka, dva):
+            _bwd_fused_kernel(
+                qo, ko, klen, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                delta_ref, None, None, dq_ref, dk_ref, dv_ref, dqa, dka, dva,
+                causal=causal, sm_scale=sm_scale, block_q=block_q,
+                block_kv=block_kv, n_sub=n_sub, num_q_blocks=n_q,
+                group=group,
+            )
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, n_kv_major, hq, n_q, n_sub),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, block_q, d_pad),
+                lambda b_, jkM, h, iq, jks, *_: (jkM, b_, h, iq, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv_major, d_pad),
+                lambda b_, jkM, h, iq, jks, *_: (b_, h // group, jkM, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv_major, d_pad),
+                lambda b_, jkM, h, iq, jks, *_: (b_, h // group, jkM, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_kv_major, d_pad), jnp.float32),
+            pltpu.VMEM((block_kv_major, d_pad), jnp.float32),
+        ],
+    )
+    dq_parts, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_kv_major, b, hq, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary", "arbitrary",
+            ),
+        ),
+    )(q_offset, kv_offset, kv_len, *inputs)
+    dq = dq_parts.astype(jnp.float32).sum(axis=0).astype(q.dtype)
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
 # custom VJP core (head-major, padded shapes)
 # ---------------------------------------------------------------------------
@@ -487,7 +743,8 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
                 jnp.pad(segs[0], ((0, 0), (0, eq)), constant_values=-1),
                 jnp.pad(segs[1], ((0, 0), (0, ek)), constant_values=-2),
             )
-    dq, dk, dv = _bwd_impl(
+    impl = _bwd_fused_impl if _FUSED_BWD else _bwd_impl
+    dq, dk, dv = impl(
         q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
         causal, bq, bk, true_head_dim,
     )
@@ -718,7 +975,8 @@ def _bwd_pair_pallas(
     ko = jnp.zeros((1,), jnp.int32)
     klen = jnp.asarray([skv], jnp.int32)
 
-    dq, dk, dv = _bwd_impl(
+    impl = _bwd_fused_impl if _FUSED_BWD else _bwd_impl
+    dq, dk, dv = impl(
         qp, kp, vp, gp, lse_p, delta_p, qo, ko, klen, segs,
         causal, block_q, block_kv, d,
     )

@@ -56,6 +56,8 @@ def build_from_recipe(recipe: dict):
         vision_chunk=data_cfg.get("vision_chunk", 256),
         seed=run.get("seed", 42),
         cp_algo=run.get("cp_algo", "ring"),
+        cp_inner=run.get("cp_inner", 1),
+        cp_window=run.get("cp_window_size", 0),
         output_dir=run.get("output_dir"),
         fsdp=run.get("fsdp", False),
         profile_steps=(

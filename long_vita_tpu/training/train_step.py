@@ -86,6 +86,7 @@ def make_train_step(
     use_ring: bool = False,
     cp_algo: str = "ring",
     cp_inner: int = 1,
+    cp_window: int = 0,
     remat: bool = True,
     vision_chunk: int = 0,
 ):
@@ -101,7 +102,9 @@ def make_train_step(
         and cfg.text.num_experts % mesh.shape.get("dp", 1) == 0
     )
     parallel = (
-        ParallelConfig(mesh, cp_algo=cp_algo, cp_inner=cp_inner)
+        ParallelConfig(
+            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window
+        )
         if (mesh is not None and (use_ring or pp > 1 or moe_ep)) else None
     )
     if parallel is not None and pp > 1:

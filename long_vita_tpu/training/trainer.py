@@ -63,6 +63,7 @@ class TrainerConfig:
     seed: int = 42
     cp_algo: str = "ring"  # "ring" | "ulysses" | "hybrid"
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
+    cp_window: int = 0  # double-ring window size (reference --cp-window-size)
     fsdp: bool = False  # shard layer-stacked params over dp (ZeRO-3 style)
     resume: bool = True  # auto-resume from save_dir's latest checkpoint
     straggler_threshold: float = 2.0  # warn when a step takes > thr x median
@@ -150,6 +151,7 @@ class Trainer:
             use_ring=tcfg.mesh.cp > 1 or tcfg.mesh.pp > 1,
             cp_algo=tcfg.cp_algo,
             cp_inner=tcfg.cp_inner,
+            cp_window=tcfg.cp_window,
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
         )

@@ -171,3 +171,41 @@ def test_flash_lse_output():
     logits = np.where(mask[None, None], logits, -np.inf)
     want_lse = np.log(np.sum(np.exp(logits), axis=-1))  # [B,H,S]
     np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("causal", [True, False])
+def test_fused_backward_matches_two_pass(causal):
+    """The fused one-pass backward (dq partials per kv-major block) must
+    reproduce the two-pass dkv+dq kernels exactly (same math, f32 accum)."""
+    from long_vita_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    b, sq, hq, hkv, d = 2, 512, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, sq, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, sq, hkv, d)), jnp.float32)
+    segs = jnp.asarray(rng.integers(0, 3, (b, sq)), jnp.int32)
+    segs = jnp.sort(segs, axis=1)
+
+    def run(fused):
+        old = fa._FUSED_BWD
+        fa._FUSED_BWD = fused
+        try:
+            def f(q, k, v):
+                o = fa.flash_attention(
+                    q, k, v, causal=causal, block_q=128, block_kv=128,
+                    q_segment_ids=segs, kv_segment_ids=segs,
+                )
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fa._FUSED_BWD = old
+
+    g_fused = run(True)
+    g_two = run(False)
+    for a, b_ in zip(g_fused, g_two):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5
+        )
