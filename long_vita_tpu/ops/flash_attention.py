@@ -64,6 +64,12 @@ import os as _os  # noqa: E402
 
 if _os.environ.get("LVT_FUSED_BWD") == "0":
     _FUSED_BWD = False
+# block-size env overrides for benchmarking sweeps
+BWD_BLOCK_Q_CAP = int(_os.environ.get("LVT_BWD_BQ", BWD_BLOCK_Q_CAP))
+BWD_BLOCK_KV_CAP = int(_os.environ.get("LVT_BWD_BK", BWD_BLOCK_KV_CAP))
+BWD_BLOCK_KV_MAJOR = int(
+    _os.environ.get("LVT_BWD_MAJOR", BWD_BLOCK_KV_MAJOR)
+)
 
 
 def _interpret() -> bool:
