@@ -21,6 +21,13 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--remat", default="full", choices=["full", "dots", "flash"])
+    args = parser.parse_args()
+    remat = True if args.remat == "full" else args.remat
+
     from long_vita_tpu.utils.compile_cache import enable
 
     enable()
@@ -36,7 +43,7 @@ def main():
         num_key_value_heads=8, rope_theta=1e6,
     )
     log(f"train-step bench: {layers}-layer slice, seq {seq}, "
-        f"device {jax.devices()[0].device_kind}")
+        f"remat={args.remat}, device {jax.devices()[0].device_kind}")
 
     # plain-SGD update: Adam's f32 moments for the 152k-vocab embed+head
     # alone exceed one v5e's HBM; the matmul work measured here is identical
@@ -52,7 +59,7 @@ def main():
     def loss_fn(params):
         embeds = qwen2.embed_tokens(params, tokens)
         hidden, _ = qwen2.qwen2_decoder(
-            params, embeds, positions, cfg, remat=True
+            params, embeds, positions, cfg, remat=remat
         )
         hidden = jnp.take_along_axis(hidden, lp[:, :, None], axis=1)
         logits = qwen2.lm_head(params, hidden)
@@ -82,9 +89,13 @@ def main():
                         cfg.num_key_value_heads, cfg.head_dim,
                         cfg.intermediate_size)
     matmul_per_tok = 2 * h * (hq * d + 2 * hkv * d) + 2 * hq * d * h + 6 * h * i
-    # fwd + bwd(2x) + remat fwd recompute(1x) = 4x fwd matmul flops
+    # fwd + bwd(2x) + remat fwd recompute(1x) = 4x fwd matmul flops.
+    # The "flash" remat policy keeps (o, lse) saved, so the attention
+    # forward is NOT recomputed — count 3 attention passes, not 4
+    # (linears are still fully rematerialized under every policy here).
     attn = 4 * seq * seq * hq * d * 0.5
-    flops = layers * (4 * matmul_per_tok * seq + 4 * attn)
+    attn_passes = 3 if args.remat == "flash" else 4
+    flops = layers * (4 * matmul_per_tok * seq + attn_passes * attn)
     tflops = flops / dt / 1e12
     mfu = tflops / 197.0
     log(f"train step: {dt*1000:.0f} ms | {tflops:.1f} TFLOP/s | MFU {mfu:.3f}"

@@ -599,9 +599,16 @@ def _remat_policy(remat):
     """Rematerialization level (reference --recompute-* flags):
     True/"full" = recompute everything (stage-4: full recompute of 48
     layers); "dots" = keep matmul outputs (cheaper recompute for the
-    shorter-context stages)."""
+    shorter-context stages); "flash" = save ONLY the flash kernel's
+    (o, lse) so the backward skips the attention-forward recompute —
+    O(S*H*D) memory per layer for ~20% less attention compute, the
+    flash-attn-2 backward contract the reference's full recompute loses."""
     if remat == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if remat == "flash":
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse"
+        )
     return jax.checkpoint_policies.nothing_saveable
 
 

@@ -56,7 +56,9 @@ BWD_BLOCK_KV_CAP = 512
 # Fused one-pass backward: dq partials are materialized once per kv MAJOR
 # block (splash-attention pattern) — the bigger the major block, the fewer
 # dq partial copies, bounded by the f32 dk/dv accumulators in VMEM.
-BWD_BLOCK_KV_MAJOR = 2048
+# Swept in the 16K train step on v5e: M4096 1514 ms vs M2048 1519 ms
+# (two-pass 1595 ms); bq 1024 bk 512 remain the best backward caps.
+BWD_BLOCK_KV_MAJOR = 4096
 _FUSED_BWD = True  # env LVT_FUSED_BWD=0 falls back to the two-pass kernels
 _LANE = 128
 
@@ -65,6 +67,8 @@ import os as _os  # noqa: E402
 if _os.environ.get("LVT_FUSED_BWD") == "0":
     _FUSED_BWD = False
 # block-size env overrides for benchmarking sweeps
+DEFAULT_BLOCK_Q = int(_os.environ.get("LVT_FWD_BQ", DEFAULT_BLOCK_Q))
+DEFAULT_BLOCK_KV = int(_os.environ.get("LVT_FWD_BK", DEFAULT_BLOCK_KV))
 BWD_BLOCK_Q_CAP = int(_os.environ.get("LVT_BWD_BQ", BWD_BLOCK_Q_CAP))
 BWD_BLOCK_KV_CAP = int(_os.environ.get("LVT_BWD_BK", BWD_BLOCK_KV_CAP))
 BWD_BLOCK_KV_MAJOR = int(
@@ -715,6 +719,14 @@ def _flash_core_fwd(
         causal=causal, block_q=block_q, block_kv=block_kv,
         sm_scale=1.0 / (true_head_dim ** 0.5),
     )
+    # Under jax.checkpoint with the "flash" policy (qwen2._remat_policy),
+    # these tags keep (o, lse) saved so the backward NEVER re-runs the
+    # forward kernel — what CUDA flash-attn-2 does natively, and what the
+    # reference's Megatron full-recompute cannot express.
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse, q_offset, kv_offset, kv_len, segs)
 
 

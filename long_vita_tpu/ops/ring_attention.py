@@ -148,6 +148,47 @@ def ring_attention(
     return o
 
 
+def _segments_overlap(qs, ks):
+    """True when ANY batch row's q segment range intersects the kv range.
+
+    The TPU-native answer to the reference's adaptive CP
+    (dot_product_attention.py:76-78, --adaptive-cp-* flags): packed ragged
+    masks make many (q-chunk, kv-chunk) ring pairs entirely cross-segment;
+    those pair kernels are skipped under lax.cond — exact (the skipped pair
+    contributes nothing) and data-dependent, with no host-side scheduling
+    pass. Segment ids are non-decreasing within a chunk stream, so min/max
+    ranges capture membership."""
+    q_lo = jnp.min(qs, axis=1)
+    q_hi = jnp.max(qs, axis=1)
+    k_lo = jnp.min(ks, axis=1)
+    k_hi = jnp.max(ks, axis=1)
+    row = jnp.logical_and(k_lo <= q_hi, q_lo <= k_hi)
+    return jnp.any(row)
+
+
+def _guarded_pair_fwd(q, k, v, causal, qs, ks):
+    """pair_attn_fwd, elided when no segment ranges intersect."""
+    if qs is None:
+        return pair_attn_fwd(q, k, v, causal=causal)
+
+    def yes(_):
+        return pair_attn_fwd(
+            q, k, v, causal=causal, q_segment_ids=qs, kv_segment_ids=ks
+        )
+
+    def no(_):
+        # derive the empty partial FROM both inputs so the varying-axis
+        # sets match the compute branch exactly (shard_map vma typing)
+        zero = (jnp.sum(q) * jnp.sum(k) * 0).astype(jnp.float32)
+        o0 = q * 0
+        l0 = jnp.transpose(
+            jnp.sum(q * 0, axis=-1).astype(jnp.float32), (0, 2, 1)
+        ) + zero + NEG_INF
+        return o0 + zero.astype(q.dtype), l0
+
+    return jax.lax.cond(_segments_overlap(qs, ks), yes, no, None)
+
+
 def _fwd_compute(q_a, q_b, qs_a, qs_b, kv, w, r, is_diag, have_segs):
     """One ring step's attention work given the kv owner's group index w.
 
@@ -164,17 +205,14 @@ def _fwd_compute(q_a, q_b, qs_a, qs_b, kv, w, r, is_diag, have_segs):
 
     def diag_step(_):
         # q_a vs kv_c (diag), q_b vs kv_c (full), q_b vs kv_d (diag)
-        oa, la = pair_attn_fwd(
-            q_a, k_c, v_c, causal=True,
-            q_segment_ids=seg_or_none(qs_a), kv_segment_ids=seg_or_none(s_c),
+        oa, la = _guarded_pair_fwd(
+            q_a, k_c, v_c, True, seg_or_none(qs_a), seg_or_none(s_c)
         )
-        ob1, lb1 = pair_attn_fwd(
-            q_b, k_c, v_c, causal=False,
-            q_segment_ids=seg_or_none(qs_b), kv_segment_ids=seg_or_none(s_c),
+        ob1, lb1 = _guarded_pair_fwd(
+            q_b, k_c, v_c, False, seg_or_none(qs_b), seg_or_none(s_c)
         )
-        ob2, lb2 = pair_attn_fwd(
-            q_b, k_d, v_d, causal=True,
-            q_segment_ids=seg_or_none(qs_b), kv_segment_ids=seg_or_none(s_d),
+        ob2, lb2 = _guarded_pair_fwd(
+            q_b, k_d, v_d, True, seg_or_none(qs_b), seg_or_none(s_d)
         )
         ob, lb = merge_partials(ob1, lb1, ob2, lb2)
         return oa, la, ob, lb
@@ -183,9 +221,8 @@ def _fwd_compute(q_a, q_b, qs_a, qs_b, kv, w, r, is_diag, have_segs):
         # q_b vs kv_c always full; second pair depends on wrap:
         #   no wrap (w < r): q_a vs kv_c (full), accumulate into chunk a
         #   wrap (w > r):    q_b vs kv_d (full), accumulate into chunk b
-        ob1, lb1 = pair_attn_fwd(
-            q_b, k_c, v_c, causal=False,
-            q_segment_ids=seg_or_none(qs_b), kv_segment_ids=seg_or_none(s_c),
+        ob1, lb1 = _guarded_pair_fwd(
+            q_b, k_c, v_c, False, seg_or_none(qs_b), seg_or_none(s_c)
         )
         q2 = jnp.where(wrap, q_b, q_a)
         k2 = jnp.where(wrap, k_d, k_c)
@@ -195,10 +232,7 @@ def _fwd_compute(q_a, q_b, qs_a, qs_b, kv, w, r, is_diag, have_segs):
             ss2 = jnp.where(wrap, s_d, s_c)
         else:
             qs2 = ss2 = None
-        o2, l2 = pair_attn_fwd(
-            q2, k2, v2, causal=False,
-            q_segment_ids=qs2, kv_segment_ids=ss2,
-        )
+        o2, l2 = _guarded_pair_fwd(q2, k2, v2, False, qs2, ss2)
         # route (o2, l2) into a or b
         oa = jnp.where(wrap, jnp.zeros_like(o2), o2)
         la = jnp.where(wrap, NEG_INF, l2)

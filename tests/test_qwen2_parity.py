@@ -163,3 +163,32 @@ def test_packed_segment_isolation():
     h_b = run(b, jnp.arange(10)[None])
     np.testing.assert_allclose(h_packed[:, :6], h_a, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(h_packed[:, 6:], h_b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_flash_remat_policy_matches_full_remat():
+    """remat="flash" (save only the kernel's o/lse) must give identical
+    gradients to full rematerialization."""
+    from long_vita_tpu.config import tiny_test_config
+    from long_vita_tpu.models import qwen2
+
+    cfg = tiny_test_config().text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 256), 0, 500)
+    pos = jnp.broadcast_to(jnp.arange(256), (1, 256))
+
+    def loss(params, remat):
+        embeds = qwen2.embed_tokens(params, ids)
+        hidden, _ = qwen2.qwen2_decoder(
+            params, embeds, pos, cfg, remat=remat, attn_impl="flash"
+        )
+        return jnp.sum(hidden.astype(jnp.float32) ** 2)
+
+    g_full = jax.grad(lambda p: loss(p, True))(params)
+    g_flash = jax.grad(lambda p: loss(p, "flash"))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        g_full, g_flash,
+    )

@@ -210,3 +210,29 @@ def test_double_ring_with_segments():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.slow
+def test_adaptive_segment_skipping_exact():
+    """Adaptive pair skipping (segment-overlap cond) is numerically exact:
+    a heavily packed batch matches full attention bit-for-tolerance."""
+    mesh = _mesh()
+    rng = np.random.default_rng(10)
+    b, s, hq, hkv, d = 2, 16 * CP, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    # many short segments -> most ring pairs are pure cross-segment
+    seg = jnp.sort(
+        jnp.asarray(rng.integers(0, 16, (b, s)), jnp.int32), axis=1
+    )
+
+    want = xla_attention(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
+    )
+    qz, kz, vz = (zigzag_permute(x, CP) for x in (q, k, v))
+    segz = zigzag_permute(seg, CP)
+    got = zigzag_unpermute(_ring(qz, kz, vz, mesh, seg=segz), CP)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
