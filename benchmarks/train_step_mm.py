@@ -82,8 +82,10 @@ def main():
     ))[None]
     labels = jnp.take_along_axis(tokens, lp + 1, axis=1)
 
+    # batch rides as ARGUMENTS (a jit-captured 60x448x448 image constant
+    # blows past the remote-compile request size limit)
     if trainable_vit:
-        def loss_fn(params):
+        def loss_fn(params, images):
             logits, _ = long_vita_forward(
                 params, tokens, positions, cfg, images=images,
                 image_indices=image_indices, logit_positions=lp,
@@ -92,13 +94,24 @@ def main():
             s, c = cross_entropy(logits, labels)
             return s / jnp.maximum(c, 1.0)
 
-        grad_of = loss_fn
     else:
-        # frozen ViT: vision/projector are constants to the grad
+        # frozen ViT: vision/projector ride as non-differentiated arguments
         frozen = {"vision": params.pop("vision"),
                   "projector": params.pop("projector")}
 
-        def loss_fn(tparams):
+    if trainable_vit:
+        @jax.jit
+        def step(params, images):
+            loss, grads = jax.value_and_grad(loss_fn)(params, images)
+            params = jax.tree.map(
+                lambda p, g: (p - 1e-5 * g).astype(p.dtype), params, grads
+            )
+            return params, loss
+
+        def run_step(params):
+            return step(params, images)
+    else:
+        def loss_frozen(tparams, frozen, images):
             full = {**tparams, **jax.lax.stop_gradient(frozen)}
             logits, _ = long_vita_forward(
                 full, tokens, positions, cfg, images=images,
@@ -108,24 +121,27 @@ def main():
             s, c = cross_entropy(logits, labels)
             return s / jnp.maximum(c, 1.0)
 
-        grad_of = loss_fn
+        @jax.jit
+        def step(params, frozen, images):
+            loss, grads = jax.value_and_grad(loss_frozen)(
+                params, frozen, images
+            )
+            params = jax.tree.map(
+                lambda p, g: (p - 1e-5 * g).astype(p.dtype), params, grads
+            )
+            return params, loss
 
-    @jax.jit
-    def step(params):
-        loss, grads = jax.value_and_grad(grad_of)(params)
-        params = jax.tree.map(
-            lambda p, g: (p - 1e-5 * g).astype(p.dtype), params, grads
-        )
-        return params, loss
+        def run_step(params):
+            return step(params, frozen, images)
 
     t0 = time.time()
-    params, loss = step(params)
+    params, loss = run_step(params)
     _ = jax.device_get(loss)
     log(f"compile+first: {time.time() - t0:.1f}s, loss {float(loss):.3f}")
 
     t0 = time.time()
     for _ in range(3):
-        params, loss = step(params)
+        params, loss = run_step(params)
     _ = jax.device_get(loss)
     dt = (time.time() - t0) / 3
 

@@ -327,3 +327,40 @@ def test_beam_on_cp_mesh(engine):
     a = beam_search(engine, ids, beam_size=2, max_new_tokens=4, num_return=2)
     b = beam_search(sharded, ids, beam_size=2, max_new_tokens=4, num_return=2)
     assert [h.token_ids for h in a] == [h.token_ids for h in b]
+
+
+@pytest.mark.slow
+def test_generate_batch_kv_quant(engine):
+    """Ragged batched decode composes with the int8 KV cache."""
+    quant = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=64,
+        cache_dtype=jnp.float32, kv_quant=True,
+    )
+    sp = SamplingParams(greedy=True, max_new_tokens=4)
+    prompts = ["hello quantized", "a second longer row for ragged padding"]
+    batch = quant.generate_batch(
+        [{"messages": [{"role": "user", "content": p}]} for p in prompts],
+        sampling=sp,
+    )
+    singles = [
+        quant.generate([{"role": "user", "content": p}], sampling=sp)
+        for p in prompts
+    ]
+    for s, b in zip(singles, batch):
+        assert s.token_ids[:2] == b.token_ids[:2]
+
+
+def test_generate_batch_rejects_cp_mesh(engine):
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1, cp=2, tp=2), devices=jax.devices()[:4])
+    sharded = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=128,
+        cache_dtype=jnp.float32, mesh=mesh,
+    )
+    with pytest.raises(ValueError, match="batch-1"):
+        sharded.generate_batch(
+            [{"messages": [{"role": "user", "content": "x"}]}]
+        )
