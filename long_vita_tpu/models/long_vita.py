@@ -47,10 +47,19 @@ def encode_images(
         return project_features(params["projector"], feats, cfg)
 
     n = images.shape[0]
-    if chunk and n > chunk and n % chunk == 0:
-        batched = images.reshape(n // chunk, chunk, *images.shape[1:])
+    if chunk and n > chunk:
+        # pad the tile batch to a chunk multiple (a 61-tile prompt must not
+        # silently fall back to one unbounded ViT batch — that OOMs at
+        # 4k-frame scale); padded tiles are dropped after the map.
+        pad = -n % chunk
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)],
+                axis=0,
+            )
+        batched = images.reshape((n + pad) // chunk, chunk, *images.shape[1:])
         out = jax.lax.map(_encode, batched)
-        return out.reshape(n, out.shape[2], out.shape[3])
+        return out.reshape(n + pad, out.shape[2], out.shape[3])[:n]
     return _encode(images)
 
 
