@@ -84,3 +84,15 @@ def test_logit_budget_drop_raises_by_default():
     # a sufficient budget never raises
     batch = collate_packs([pack], logit_budget=n)
     assert batch["labels"].shape == (1, n)
+
+
+def test_72b_fsdp_recipe_geometry():
+    with open(f"{REPO}/configs/stage1_72b_tp8fsdp8.yaml") as f:
+        r = yaml.safe_load(f)
+    mesh = MeshConfig(**r["mesh"])
+    cfg = long_vita_72b()
+    validate_geometry(cfg.text, mesh, seq_len=r["data"]["seq_len"])
+    assert r["run"]["fsdp"] is True
+    # fsdp shards the stacked layer dim over dp
+    assert cfg.text.num_hidden_layers % mesh.dp == 0
+    assert r["run"]["global_batch"] % mesh.dp == 0

@@ -220,3 +220,21 @@ def test_beam_validation_errors(server_url):
     assert code == 400 and body == "beam_width must be an integer > 1"
     code, body = _put(server_url, {"prompts": ["x", "y"], "beam_width": 2})
     assert code == 400 and body == "When doing beam_search, batch size must be 1"
+
+
+def test_beam_with_image_over_server(server_url):
+    """Beam search composes with multimodal prompts over the wire."""
+    img = Image.new("RGB", (64, 64), (200, 30, 40))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    code, body = _put(server_url, {
+        "prompts": ["<image>\nwhat is shown?"],
+        "image_list": [b64],
+        "tokens_to_generate": 3,
+        "beam_width": 2,
+    })
+    assert code == 200, body
+    out = json.loads(body)
+    assert out["scores"] == sorted(out["scores"], reverse=True)
+    assert len(out["text"]) >= 1
