@@ -78,12 +78,20 @@ class InferenceEngine:
             from long_vita_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
-            if mesh.shape.get("cp", 1) > 1:
+            cp = mesh.shape.get("cp", 1)
+            if cp > 1:
                 from long_vita_tpu.models.qwen2 import ParallelConfig
 
                 # sequence-sharded KV cache + shard_map partial-merge
                 # attention (1M serving without recompute-per-token)
                 self.parallel = ParallelConfig(mesh)
+                slots = _round_up(max_seq_len, chunk)
+                if chunk > slots // cp:
+                    raise ValueError(
+                        f"prefill chunk {chunk} exceeds one cp rank's cache "
+                        f"shard ({slots}//{cp} = {slots // cp}); lower "
+                        "chunk or raise max_seq_len"
+                    )
         self.params = params
 
         self._prefill_chunk = jax.jit(self._prefill_chunk_impl)
@@ -225,6 +233,7 @@ class InferenceEngine:
         eos = self.eos_id
         stops = jnp.asarray((eos,) + tuple(sp.stop_token_ids), jnp.int32)
         bsz = token.shape[0]
+        cap = self.max_seq_len - 1  # last admissible token position
 
         def body(carry, i):
             token, cache, rng, done = carry
@@ -236,6 +245,9 @@ class InferenceEngine:
             )
             logits = qwen2.lm_head(params["text"], hidden[:, -1])
             next_token = sample(logits, sub, sp)
+            # per-row capacity: a ragged batch scans to the LONGEST row's
+            # budget; rows that reach max_seq_len emit eos from there on
+            done = jnp.logical_or(done, start_pos + i >= cap)
             next_token = jnp.where(done, eos, next_token)
             logprob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits, axis=-1),
@@ -423,9 +435,12 @@ class InferenceEngine:
         first = np.asarray(first)
         rows = [[int(first[b])] for b in range(bsz)]
         row_lps = [[float(x)] for x in np.asarray(first_lp)]
+        # scan to the LONGEST row's budget (the shortest prompt) — each
+        # row's own capacity is enforced inside the scan, so one long
+        # prompt cannot truncate its batchmates' outputs
         budget = min(
             sampling.max_new_tokens - 1,
-            self.max_seq_len - 1 - int(lengths.max()),
+            self.max_seq_len - 1 - int(lengths.min()),
         )
         if budget > 0:
             rng, sub = jax.random.split(rng)

@@ -76,6 +76,9 @@ def _validate(req: dict) -> Optional[str]:
         if not isinstance(beam_width, int):
             return "beam_width must be integer"
         if beam_width < 1:
+            # the reference's own check/message mismatch (< 1 vs "> 1",
+            # text_generation_server.py:188-191) is preserved for wire
+            # parity: beam_width=1 is accepted and runs a width-1 beam
             return "beam_width must be an integer > 1"
         if len(prompts) > 1:
             return "When doing beam_search, batch size must be 1"
@@ -285,11 +288,15 @@ class RequestBatcher:
 
     def __init__(
         self, engine: InferenceEngine, max_batch: int = 8,
-        window_s: float = 0.02,
+        window_s: float = 0.02, generate_lock: Optional[threading.Lock] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_s
+        # shared with the beam/multihost serial path: device work stays
+        # one-generation-at-a-time (two concurrent full-size KV caches
+        # would blow HBM under load)
+        self.generate_lock = generate_lock or threading.Lock()
         self._cv = threading.Condition()
         self._queue: list[tuple] = []  # (key, req, box)
         self.batch_sizes: list[int] = []  # observability: rows per dispatch
@@ -326,13 +333,22 @@ class RequestBatcher:
                 for entry in group:
                     self._queue.remove(entry)
             try:
-                payloads = execute_batch(self.engine, [e[1] for e in group])
+                with self.generate_lock:
+                    payloads = execute_batch(
+                        self.engine, [e[1] for e in group]
+                    )
                 self.batch_sizes.append(n_rows)
                 for (_, _, box), payload in zip(group, payloads):
                     box["payload"] = payload
-            except Exception as exc:  # noqa: BLE001
-                for _, _, box in group:
-                    box["error"] = exc
+            except Exception:  # noqa: BLE001
+                # one bad request (corrupt image, over-long prompt) must not
+                # 400 its batchmates: retry each request alone
+                for _, req, box in group:
+                    try:
+                        with self.generate_lock:
+                            box["payload"] = execute_request(self.engine, req)
+                    except Exception as exc:  # noqa: BLE001
+                        box["error"] = exc
             for _, _, box in group:
                 box["event"].set()
 
@@ -353,7 +369,8 @@ def make_server(
         and engine.parallel is None  # cp-sharded caches stay batch-1
     ):
         server.batcher = RequestBatcher(
-            engine, max_batch=max_batch, window_s=batch_window_s
+            engine, max_batch=max_batch, window_s=batch_window_s,
+            generate_lock=server.generate_lock,
         )
     return server
 

@@ -157,7 +157,8 @@ def _cp_attention_sharded(
 
         if segment_ids is None:
             body = lambda q_, k_, v_: hybrid_attention(
-                q_, k_, v_, parallel.axis_cp, parallel.cp_inner
+                q_, k_, v_, parallel.axis_cp, parallel.cp_inner,
+                window=parallel.cp_window,
             )
             in_specs = (spec, spec, spec)
             args = (q, k, v)
@@ -165,6 +166,7 @@ def _cp_attention_sharded(
             body = lambda q_, k_, v_, s_: hybrid_attention(
                 q_, k_, v_, parallel.axis_cp, parallel.cp_inner,
                 q_segment_ids=s_, kv_segment_ids=s_,
+                window=parallel.cp_window,
             )
             in_specs = (spec, spec, spec, sspec)
             args = (q, k, v, segment_ids)
@@ -337,7 +339,10 @@ def _attention_block(
                 bidx = jnp.arange(b)
 
                 def row_write(buf, new):
-                    return buf.at[layer_idx, bidx, cache_len].set(new[:, 0])
+                    # rows past capacity keep stepping (engine masks their
+                    # output to eos); clamp so the scatter stays in bounds
+                    idx = jnp.minimum(cache_len, buf.shape[2] - 1)
+                    return buf.at[layer_idx, bidx, idx].set(new[:, 0])
 
                 if quant:
                     ks_full = row_write(ks_full, k_sc)
@@ -670,7 +675,10 @@ def _pipelined_decoder(
     )
     out = fn(layers, mb)
     hidden = out["x"].reshape(b, *inputs_embeds.shape[1:])
-    return hidden, out["aux"].sum()
+    # mean over microbatches: the Switch aux loss is token-count invariant
+    # per call, so a sum would scale the coefficient m-fold vs the
+    # non-pipelined path
+    return hidden, out["aux"].mean()
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:

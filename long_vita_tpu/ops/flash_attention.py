@@ -59,6 +59,9 @@ BWD_BLOCK_KV_CAP = 512
 # Swept in the 16K train step on v5e: M4096 1514 ms vs M2048 1519 ms
 # (two-pass 1595 ms); bq 1024 bk 512 remain the best backward caps.
 BWD_BLOCK_KV_MAJOR = 4096
+# fused-backward dq-partials HBM budget: past this the two-pass kernels
+# (O(1) dq memory) take over — e.g. single-chip 128K text-only training
+FUSED_BWD_DQ_BYTES_CAP = 2 * 1024**3
 _FUSED_BWD = True  # env LVT_FUSED_BWD=0 falls back to the two-pass kernels
 _LANE = 128
 
@@ -761,7 +764,14 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
                 jnp.pad(segs[0], ((0, 0), (0, eq)), constant_values=-1),
                 jnp.pad(segs[1], ((0, 0), (0, ek)), constant_values=-2),
             )
-    impl = _bwd_fused_impl if _FUSED_BWD else _bwd_impl
+    # The fused kernel materializes one dq partial per kv-major block; at
+    # very long NON-cp sequences (ring/CP paths bound skv to chunk sizes)
+    # those transient copies would exceed HBM — fall back to the O(1)-dq
+    # two-pass kernels past the budget.
+    n_kv_major = max(1, k.shape[2] // BWD_BLOCK_KV_MAJOR)
+    dq_partial_bytes = n_kv_major * q.size * q.dtype.itemsize
+    use_fused = _FUSED_BWD and dq_partial_bytes <= FUSED_BWD_DQ_BYTES_CAP
+    impl = _bwd_fused_impl if use_fused else _bwd_impl
     dq, dk, dv = impl(
         q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
         causal, bq, bk, true_head_dim,
@@ -993,7 +1003,12 @@ def _bwd_pair_pallas(
     ko = jnp.zeros((1,), jnp.int32)
     klen = jnp.asarray([skv], jnp.int32)
 
-    impl = _bwd_fused_impl if _FUSED_BWD else _bwd_impl
+    n_kv_major = max(1, kp.shape[2] // BWD_BLOCK_KV_MAJOR)
+    use_fused = (
+        _FUSED_BWD
+        and n_kv_major * qp.size * qp.dtype.itemsize <= FUSED_BWD_DQ_BYTES_CAP
+    )
+    impl = _bwd_fused_impl if use_fused else _bwd_impl
     dq, dk, dv = impl(
         qp, kp, vp, gp, lse_p, delta_p, qo, ko, klen, segs,
         causal, block_q, block_kv, d,

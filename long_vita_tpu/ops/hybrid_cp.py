@@ -32,8 +32,11 @@ def hybrid_attention(
     inner: int = 2,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
+    window: int = 0,
 ) -> jnp.ndarray:
-    """Causal hybrid-CP attention. Must run inside shard_map over axis_name."""
+    """Causal hybrid-CP attention. Must run inside shard_map over axis_name.
+
+    window: double-ring window over the OUTER ring groups (0 = plain)."""
     cp = jax.lax.axis_size(axis_name)
     assert cp % inner == 0, (cp, inner)
     groups = [
@@ -70,7 +73,9 @@ def hybrid_attention(
             kv_segment_ids, axis_name, axis=1, tiled=True,
             axis_index_groups=groups,
         )
-        out = ring_attention(qg, kg, vg, axis_name, True, inner, qs, ks)
+        out = ring_attention(qg, kg, vg, axis_name, True, inner, qs, ks,
+                             window)
     else:
-        out = ring_attention(qg, kg, vg, axis_name, False, inner, None, None)
+        out = ring_attention(qg, kg, vg, axis_name, False, inner, None, None,
+                             window)
     return gather_seq(out)

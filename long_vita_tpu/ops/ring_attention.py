@@ -293,12 +293,10 @@ def _ring_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg,
     else:
         # double ring: inner sweeps of `win` steps; the cross-window jump of
         # the sweep-start KV is issued BEFORE the sweep so it overlaps the
-        # whole sweep's compute.
-        def sweep_fn(carry, o):
-            o_a, lse_a, o_b, lse_b, kv = carry
-            kv_next = _rotate_window_jump(
-                kv, axis_name, cp * inner_size, inner_size, win
-            )
+        # whole sweep's compute. The LAST sweep issues no jump (its result
+        # would be discarded — a full-KV long hop per layer saved).
+        def inner_sweep(acc, kv, o):
+            o_a, lse_a, o_b, lse_b = acc
 
             def istep(c2, i):
                 o_a, lse_a, o_b, lse_b, kv = c2
@@ -320,10 +318,21 @@ def _ring_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg,
             (o_a, lse_a, o_b, lse_b, _), _ = jax.lax.scan(
                 istep, (o_a, lse_a, o_b, lse_b, kv), jnp.arange(win)
             )
-            return (o_a, lse_a, o_b, lse_b, kv_next), None
+            return (o_a, lse_a, o_b, lse_b)
 
-        (o_a, lse_a, o_b, lse_b, _), _ = jax.lax.scan(
-            sweep_fn, (o_a, lse_a, o_b, lse_b, kv), jnp.arange(n_win)
+        def sweep_fn(carry, o):
+            o_a, lse_a, o_b, lse_b, kv = carry
+            kv_next = _rotate_window_jump(
+                kv, axis_name, cp * inner_size, inner_size, win
+            )
+            acc = inner_sweep((o_a, lse_a, o_b, lse_b), kv, o)
+            return (*acc, kv_next), None
+
+        (o_a, lse_a, o_b, lse_b, kv), _ = jax.lax.scan(
+            sweep_fn, (o_a, lse_a, o_b, lse_b, kv), jnp.arange(n_win - 1)
+        )
+        o_a, lse_a, o_b, lse_b = inner_sweep(
+            (o_a, lse_a, o_b, lse_b), kv, jnp.asarray(n_win - 1)
         )
 
     o = jnp.concatenate([o_a, o_b], axis=1)

@@ -364,3 +364,20 @@ def test_generate_batch_rejects_cp_mesh(engine):
         sharded.generate_batch(
             [{"messages": [{"role": "user", "content": "x"}]}]
         )
+
+
+def test_generate_batch_long_row_does_not_truncate_short_row(engine):
+    """A near-capacity prompt sharing the batch must not shrink its
+    batchmates' budgets (review finding: budget was min'd by lengths.max)."""
+    rng = np.random.default_rng(5)
+    short_ids = rng.integers(0, 1000, size=20).tolist()
+    long_ids = rng.integers(0, 1000, size=engine.max_seq_len - 3).tolist()
+    sp = SamplingParams(greedy=True, max_new_tokens=12)
+    short, long_row = engine.generate_batch(
+        [{"input_ids": short_ids}, {"input_ids": long_ids}], sampling=sp
+    )
+    # the long row saturates its own capacity...
+    assert len(long_row.token_ids) <= 3
+    # ...while the short row matches its solo run exactly
+    single = engine.generate(input_ids=short_ids, sampling=sp)
+    assert short.token_ids == single.token_ids
