@@ -1,0 +1,230 @@
+"""Continuous (iteration-level) batching: a slot-pool decode scheduler.
+
+Beyond both the reference server (strictly one request at a time,
+text_generation_server.py's global lock) and this framework's window
+micro-batcher (requests must ARRIVE together): a fixed pool of KV-cache
+slots decodes in short segments ("ticks"), and new requests join at any
+segment boundary — the vLLM-style scheduling discipline, built on the
+engine's ragged per-row cache frontier:
+
+  - one shared [L, B, Smax] cache; per-slot lengths; inactive slots ride
+    the decode scan masked-done (their clamped writes are overwritten by
+    the next occupant's prefill insert)
+  - admission: prefill into a 1-row staging cache, then one
+    dynamic_update_slice drops the row into its slot
+  - all rows in flight share one SamplingParams (the server groups
+    requests by sampling key, as the micro-batcher does)
+
+Everything stays static-shaped: the decode scan compiles once per
+(pool size, tick); admission compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.inference.engine import (
+    GenerationResult,
+    InferenceEngine,
+    _round_up,
+)
+from long_vita_tpu.inference.sampler import SamplingParams
+from long_vita_tpu.models.qwen2 import KVCache
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int
+    prompt_tokens: int
+    tokens: list
+    logprobs: list
+    remaining: int
+
+
+class ContinuousEngine:
+    """Slot-pool wrapper over an InferenceEngine (single-host, cp=1)."""
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        sampling: SamplingParams = SamplingParams(),
+        *,
+        max_slots: int = 8,
+        tick: int = 16,
+        seed: int = 0,
+    ):
+        if engine.parallel is not None:
+            raise ValueError("continuous batching requires cp=1 engines")
+        self.engine = engine
+        self.sampling = sampling
+        self.max_slots = max_slots
+        self.tick = tick
+        smax = _round_up(engine.max_seq_len, engine.chunk)
+        self.cache = engine._make_cache(batch=max_slots, max_len=smax)
+        self.lengths = np.zeros(max_slots, np.int32)
+        self.cur_tokens = np.full(max_slots, engine.eos_id, np.int32)
+        self.slots: list[Optional[_Slot]] = [None] * max_slots
+        self.rng = jax.random.PRNGKey(seed)
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        self._next_id = 0
+        self._stop_set = {engine.eos_id, *sampling.stop_token_ids}
+
+    # -- jitted ----------------------------------------------------------
+
+    def _insert_impl(self, big: KVCache, staged: KVCache, slot) -> KVCache:
+        def put(b, s):
+            return jax.lax.dynamic_update_slice(
+                b, s, (0, slot) + (0,) * (b.ndim - 2)
+            )
+
+        return KVCache(
+            put(big.k, staged.k), put(big.v, staged.v), big.length,
+            k_scale=(put(big.k_scale, staged.k_scale)
+                     if big.k_scale is not None else None),
+            v_scale=(put(big.v_scale, staged.v_scale)
+                     if big.v_scale is not None else None),
+        )
+
+    # -- public ----------------------------------------------------------
+
+    def set_sampling(self, sampling: SamplingParams):
+        """Switch the pool's sampling config — only while drained (the
+        server's scheduler batches by sampling key)."""
+        if self.active:
+            raise RuntimeError("cannot switch sampling with requests in flight")
+        self.sampling = sampling
+        self._stop_set = {self.engine.eos_id, *sampling.stop_token_ids}
+
+    @property
+    def free_slots(self) -> int:
+        return sum(s is None for s in self.slots)
+
+    @property
+    def active(self) -> int:
+        return self.max_slots - self.free_slots
+
+    def add_request(
+        self,
+        input_ids,
+        images=None,
+        image_indices=None,
+    ) -> int:
+        """Prefill a request into a free slot; returns the request id."""
+        slot = next(
+            (i for i, s in enumerate(self.slots) if s is None), None
+        )
+        if slot is None:
+            raise RuntimeError("no free slots")
+        staged, last_hidden, true_len = self.engine.prefill(
+            input_ids, images, image_indices
+        )
+        self.rng, sub = jax.random.split(self.rng)
+        token, lp = self.engine._head_sample(
+            self.engine.params, last_hidden, sub, self.sampling
+        )
+        self.cache = self._insert(
+            self.cache, staged, jnp.asarray(slot, jnp.int32)
+        )
+        rid = self._next_id
+        self._next_id += 1
+        self.slots[slot] = _Slot(
+            request_id=rid,
+            prompt_tokens=true_len,
+            tokens=[int(token[0])],
+            logprobs=[float(lp[0])],
+            remaining=self.sampling.max_new_tokens - 1,
+        )
+        self.lengths[slot] = true_len
+        self.cur_tokens[slot] = int(token[0])
+        return rid
+
+    def step(self) -> list[tuple[int, GenerationResult]]:
+        """Decode one tick for every active slot; returns finished
+        (request_id, result) pairs and frees their slots."""
+        finished: list[tuple[int, GenerationResult]] = []
+        # rows already past their first-token stop finish without decoding
+        for i, s in enumerate(self.slots):
+            if s is not None and (
+                s.tokens[-1] in self._stop_set or s.remaining <= 0
+            ):
+                finished.append((s.request_id, self._result(s)))
+                self.slots[i] = None
+        active_mask = np.asarray([s is not None for s in self.slots])
+        if not active_mask.any():
+            return finished
+
+        self.rng, sub = jax.random.split(self.rng)
+        cache = KVCache(
+            self.cache.k, self.cache.v, jnp.asarray(self.lengths),
+            k_scale=self.cache.k_scale, v_scale=self.cache.v_scale,
+        )
+        tokens, lps, cache, _ = self.engine._decode_scan_masked(
+            self.engine.params,
+            jnp.asarray(self.cur_tokens[:, None]),
+            jnp.asarray(self.lengths),
+            cache,
+            sub,
+            self.sampling,
+            self.tick,
+            jnp.asarray(~active_mask),
+        )
+        self.cache = KVCache(
+            cache.k, cache.v, self.cache.length,
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
+        tokens = np.asarray(tokens)
+        lps = np.asarray(lps)
+
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            row = tokens[i]
+            take = min(self.tick, s.remaining)
+            stop_at = None
+            for j in range(take):
+                if row[j] in self._stop_set:
+                    stop_at = j
+                    break
+            if stop_at is not None:
+                s.tokens += [int(t) for t in row[:stop_at]]
+                s.logprobs += [float(x) for x in lps[i][:stop_at]]
+                finished.append((s.request_id, self._result(s)))
+                self.slots[i] = None
+            else:
+                s.tokens += [int(t) for t in row[:take]]
+                s.logprobs += [float(x) for x in lps[i][:take]]
+                s.remaining -= take
+                self.lengths[i] += self.tick
+                self.cur_tokens[i] = int(row[self.tick - 1])
+                if s.remaining <= 0 or (
+                    self.lengths[i] >= self.engine.max_seq_len - 1
+                ):
+                    finished.append((s.request_id, self._result(s)))
+                    self.slots[i] = None
+        return finished
+
+    def run_to_completion(self) -> list[tuple[int, GenerationResult]]:
+        out = []
+        while self.active:
+            out += self.step()
+        return out
+
+    def _result(self, s: _Slot) -> GenerationResult:
+        toks = s.tokens
+        for idx, t in enumerate(toks):
+            if t in self._stop_set:
+                toks = toks[:idx]
+                s.logprobs = s.logprobs[:idx]
+                break
+        text = self.engine.mm.tokenizer.decode(
+            toks, skip_special_tokens=True
+        )
+        return GenerationResult(
+            toks, text, s.prompt_tokens,
+            s.logprobs if self.sampling.return_logprobs else None,
+        )

@@ -102,6 +102,9 @@ class InferenceEngine:
         self._decode_scan = jax.jit(
             self._decode_scan_impl, static_argnames=("sp", "n")
         )
+        self._decode_scan_masked = jax.jit(
+            self._decode_scan_masked_impl, static_argnames=("sp", "n")
+        )
         self._encode_images = jax.jit(self._encode_images_impl)
         self._last_row = jax.jit(self._last_row_impl)
         self._head_sample = jax.jit(
@@ -230,9 +233,19 @@ class InferenceEngine:
         early-stops via a broadcast, generation.py:255-258; a fused scan is
         faster on TPU.)
         """
+        return self._decode_scan_masked_impl(
+            params, token, start_pos, cache, rng, sp, n,
+            jnp.zeros((token.shape[0],), bool),
+        )
+
+    def _decode_scan_masked_impl(
+        self, params, token, start_pos, cache, rng, sp, n, done0
+    ):
+        """As _decode_scan_impl, with an initial done mask — the continuous
+        batcher feeds empty/finished slots as done (they step but emit eos
+        and their clamped frontier writes are discarded)."""
         eos = self.eos_id
         stops = jnp.asarray((eos,) + tuple(sp.stop_token_ids), jnp.int32)
-        bsz = token.shape[0]
         cap = self.max_seq_len - 1  # last admissible token position
 
         def body(carry, i):
@@ -256,10 +269,10 @@ class InferenceEngine:
             done = jnp.logical_or(done, jnp.any(next_token[:, None] == stops[None], axis=-1))
             return (next_token[:, None], cache, rng, done), (next_token, logprob)
 
-        (_, cache, _, _), (tokens, logprobs) = jax.lax.scan(
-            body, (token, cache, rng, jnp.zeros((bsz,), bool)), jnp.arange(n)
+        (_, cache, _, done), (tokens, logprobs) = jax.lax.scan(
+            body, (token, cache, rng, done0), jnp.arange(n)
         )
-        return tokens.T, logprobs.T, cache  # [B, n]
+        return tokens.T, logprobs.T, cache, done  # [B, n]
 
     # ---- public API ------------------------------------------------------
 
@@ -444,7 +457,7 @@ class InferenceEngine:
         )
         if budget > 0:
             rng, sub = jax.random.split(rng)
-            tokens, lps, cache = self._decode_scan(
+            tokens, lps, cache, _ = self._decode_scan(
                 self.params, jnp.asarray(first[:, None]),
                 jnp.asarray(lengths), cache, sub, sampling, budget,
             )
@@ -504,7 +517,7 @@ class InferenceEngine:
         logprobs: list[float] = [float(first_lp[0])]
         if out_tokens[-1] != self.eos_id and budget > 0:
             rng, sub = jax.random.split(rng)
-            tokens, lps, cache = self._decode_scan(
+            tokens, lps, cache, _ = self._decode_scan(
                 self.params, token, jnp.full((1,), pos, jnp.int32), cache,
                 sub, sampling, budget,
             )

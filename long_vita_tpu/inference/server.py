@@ -353,9 +353,110 @@ class RequestBatcher:
                 box["event"].set()
 
 
+class ContinuousBatcher:
+    """Iteration-level scheduler: requests join a slot-pool decode at any
+    tick boundary (inference/continuous.py) — no accumulation window, so a
+    late arrival rides the pool immediately instead of waiting for the
+    current group to finish. Same submit() contract as RequestBatcher."""
+
+    def __init__(
+        self, engine: InferenceEngine, max_slots: int = 8, tick: int = 16,
+        generate_lock: Optional[threading.Lock] = None,
+    ):
+        from long_vita_tpu.inference.continuous import ContinuousEngine
+
+        self.engine = engine
+        self.generate_lock = generate_lock or threading.Lock()
+        self._cv = threading.Condition()
+        self._queue: list[tuple] = []  # (key, req, box)
+        self._inflight: dict[int, tuple] = {}  # rid -> (box, row_index)
+        self.ce = ContinuousEngine(
+            engine, SamplingParams(), max_slots=max_slots, tick=tick
+        )
+        self._key = None
+        self.batch_sizes: list[int] = []  # rows in flight per tick
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: dict) -> dict:
+        box: dict = {
+            "event": threading.Event(),
+            "rows": [None] * len(req["prompts"]),
+            "pending": len(req["prompts"]),
+            "req": req,
+        }
+        with self._cv:
+            self._queue.append((_sampling_key(req), req, box))
+            self._cv.notify()
+        box["event"].wait()
+        if "error" in box:
+            raise box["error"]
+        sampling, _ = _parse_sampling(req, self.engine)
+        payload = {"text": [r.text for r in box["rows"]]}
+        if sampling.return_logprobs:
+            payload["logprobs"] = [r.logprobs for r in box["rows"]]
+        return payload
+
+    def _admit_locked(self):
+        """Move queue entries into free slots (same sampling key only)."""
+        while self._queue and self.ce.free_slots:
+            key, req, box = self._queue[0]
+            if self.ce.active and key != self._key:
+                break  # drain the pool before switching sampling configs
+            if not self.ce.active and key != self._key:
+                sampling, _ = _parse_sampling(req, self.engine)
+                self.ce.set_sampling(sampling)
+                self._key = key
+            self._queue.pop(0)
+            try:
+                images, videos = _request_media(req)
+                max_frames = (
+                    int(req["max_num_frame"])
+                    if req.get("max_num_frame") else None
+                )
+                for row, prompt in enumerate(req["prompts"]):
+                    ids = self.engine.mm.encode_chat(
+                        [{"role": "user", "content": prompt}]
+                    )
+                    exp = self.engine.mm.expand(
+                        ids, images=images, videos=videos,
+                        max_num_frame=max_frames,
+                    )
+                    rid = self.ce.add_request(
+                        exp.input_ids, exp.images, exp.image_indices
+                    )
+                    self._inflight[rid] = (box, row)
+            except Exception as exc:  # noqa: BLE001
+                box["error"] = exc
+                box["event"].set()
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self.ce.active:
+                    self._cv.wait()
+            with self.generate_lock:
+                self._admit_locked()
+                finished = self.ce.step() if self.ce.active else []
+                if self.ce.active or finished:
+                    self.batch_sizes.append(
+                        self.ce.active + len(finished)
+                    )
+            for rid, result in finished:
+                entry = self._inflight.pop(rid, None)
+                if entry is None:
+                    continue
+                box, row = entry
+                box["rows"][row] = result
+                box["pending"] -= 1
+                if box["pending"] == 0 and "error" not in box:
+                    box["event"].set()
+
+
 def make_server(
     engine: InferenceEngine, host: str = "0.0.0.0", port: int = 5001,
     *, max_batch: int = 8, batch_window_s: float = 0.02,
+    continuous: bool = False,
 ) -> ThreadingHTTPServer:
     handler = type(
         "BoundHandler", (LongVITARequestHandler,), {"engine": engine}
@@ -368,10 +469,16 @@ def make_server(
         and jax.process_count() == 1
         and engine.parallel is None  # cp-sharded caches stay batch-1
     ):
-        server.batcher = RequestBatcher(
-            engine, max_batch=max_batch, window_s=batch_window_s,
-            generate_lock=server.generate_lock,
-        )
+        if continuous:
+            server.batcher = ContinuousBatcher(
+                engine, max_slots=max_batch,
+                generate_lock=server.generate_lock,
+            )
+        else:
+            server.batcher = RequestBatcher(
+                engine, max_batch=max_batch, window_s=batch_window_s,
+                generate_lock=server.generate_lock,
+            )
     return server
 
 
