@@ -94,19 +94,28 @@ class InferenceEngine:
                     )
         self.params = params
 
-        self._prefill_chunk = jax.jit(self._prefill_chunk_impl)
+        # the input cache is DONATED on every step (callers always adopt
+        # the returned cache) — without donation each prefill chunk/decode
+        # scan transiently holds two full KV caches in HBM, halving the
+        # servable context per chip
+        self._prefill_chunk = jax.jit(
+            self._prefill_chunk_impl, donate_argnums=(3,)
+        )
         self._embed_prompt = jax.jit(self._embed_prompt_impl)
         self._decode_step = jax.jit(
-            self._decode_step_impl, static_argnames=("sp",)
+            self._decode_step_impl, static_argnames=("sp",),
+            donate_argnums=(3,),
         )
         self._decode_scan = jax.jit(
-            self._decode_scan_impl, static_argnames=("sp", "n")
+            self._decode_scan_impl, static_argnames=("sp", "n"),
+            donate_argnums=(3,),
         )
         self._decode_scan_masked = jax.jit(
-            self._decode_scan_masked_impl, static_argnames=("sp", "n")
+            self._decode_scan_masked_impl, static_argnames=("sp", "n"),
+            donate_argnums=(3,),
         )
         self._encode_images = jax.jit(self._encode_images_impl)
-        self._last_row = jax.jit(self._last_row_impl)
+        self._last_row = jax.jit(self._last_row_impl, donate_argnums=(3,))
         self._head_sample = jax.jit(
             self._head_sample_impl, static_argnames=("sp",)
         )
