@@ -78,6 +78,8 @@ def main(argv=None):
     parser.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache (half the memory/bandwidth)")
     parser.add_argument("--serve", action="store_true")
+    parser.add_argument("--continuous", action="store_true",
+                        help="serve with continuous (slot-pool) batching")
     parser.add_argument("--chat", action="store_true",
                         help="interactive multi-turn chat REPL")
     parser.add_argument("--host", default="0.0.0.0")
@@ -93,7 +95,8 @@ def main(argv=None):
     if args.serve:
         from long_vita_tpu.inference.server import run_server
 
-        run_server(engine, args.host, args.port)
+        run_server(engine, args.host, args.port,
+                   continuous=args.continuous)
         return
 
     if args.chat:

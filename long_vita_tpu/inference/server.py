@@ -482,7 +482,8 @@ def make_server(
     return server
 
 
-def run_server(engine: InferenceEngine, host="0.0.0.0", port=5001):
+def run_server(engine: InferenceEngine, host="0.0.0.0", port=5001,
+               continuous: bool = False):
     if jax.process_count() > 1:
         from long_vita_tpu.inference import multihost
 
@@ -492,6 +493,6 @@ def run_server(engine: InferenceEngine, host="0.0.0.0", port=5001):
             print(f"host {jax.process_index()}: follower generate loop")
             multihost.follower_loop(lambda req: execute_request(engine, req))
             return
-    server = make_server(engine, host, port)
+    server = make_server(engine, host, port, continuous=continuous)
     print(f"long-vita-tpu server listening on {host}:{port} (PUT /api)")
     server.serve_forever()
