@@ -71,6 +71,11 @@ class TextConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_aux_loss_coef: float = 0.01
+    # LoRA (reference flag group arguments.py:263-281: --lora-r/-alpha/
+    # -target-modules). lora_r == 0 means no adapters; the runtime applies
+    # W x + (x A) B * alpha/r wherever a layer carries a "lora" subtree.
+    lora_r: int = 0
+    lora_alpha: int = 32
 
     @property
     def head_dim(self) -> int:

@@ -30,7 +30,7 @@ from long_vita_tpu.config import LongVITAConfig
 from long_vita_tpu.data.multimodal import MultimodalTokenizer
 from long_vita_tpu.inference.sampler import SamplingParams, sample
 from long_vita_tpu.models import qwen2
-from long_vita_tpu.models.long_vita import encode_images, merge_image_embeddings
+from long_vita_tpu.models.long_vita import encode_images
 from long_vita_tpu.models.qwen2 import KVCache
 
 
@@ -101,7 +101,7 @@ class InferenceEngine:
         self._prefill_chunk = jax.jit(
             self._prefill_chunk_impl, donate_argnums=(3,)
         )
-        self._embed_prompt = jax.jit(self._embed_prompt_impl)
+        self._embed_chunk = jax.jit(self._embed_chunk_impl)
         self._decode_step = jax.jit(
             self._decode_step_impl, static_argnames=("sp",),
             donate_argnums=(3,),
@@ -162,14 +162,22 @@ class InferenceEngine:
             params, images, self.cfg, chunk=self.vision_chunk
         )
 
-    def _embed_prompt_impl(self, params, ids, feats, indices):
-        """Token embeds + image-feature scatter, cp-sharded when meshed.
+    def _embed_chunk_impl(self, params, ids_chunk, feats, indices, start):
+        """Token embeds + image-feature scatter for ONE prompt chunk.
 
-        At 1M tokens the [1, S, H] bf16 embeds are ~10 GB — they must shard
-        over cp alongside the cache, never live replicated."""
-        embeds = qwen2.embed_tokens(params["text"], ids)
+        At 1M tokens whole-prompt [1, S, H] bf16 embeds are ~10 GB; per-
+        chunk embedding keeps activation memory at O(chunk). The feature
+        scatter shifts indices into chunk coordinates and DROPS rows that
+        fall outside — a tile run straddling a chunk boundary lands token
+        by token in the right chunks."""
+        embeds = qwen2.embed_tokens(params["text"], ids_chunk)
         if feats is not None:
-            embeds = merge_image_embeddings(embeds, feats, indices)
+            b_idx = indices[0].reshape(-1)
+            s_idx = indices[1].reshape(-1) - start
+            flat = feats.reshape(-1, feats.shape[-1]).astype(embeds.dtype)
+            embeds = embeds.at[b_idx, s_idx].set(
+                flat, mode="drop", indices_are_sorted=False
+            )
         if self.parallel is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -309,15 +317,15 @@ class InferenceEngine:
                 self.params, jnp.asarray(images, self.cache_dtype)
             )
             indices = jnp.asarray(image_indices)
-        embeds = self._embed_prompt(self.params, ids, feats, indices)
 
         cache = self._make_cache(
             batch=1, max_len=_round_up(self.max_seq_len, self.chunk)
         )
         last_hidden = None
         for start in range(0, padded, self.chunk):
-            chunk_embeds = jax.lax.dynamic_slice_in_dim(
-                embeds, start, self.chunk, axis=1
+            chunk_embeds = self._embed_chunk(
+                self.params, ids[:, start : start + self.chunk],
+                feats, indices, jnp.asarray(start, jnp.int32),
             )
             last_hidden, cache = self._prefill_chunk(
                 self.params, chunk_embeds, start, cache
@@ -390,14 +398,14 @@ class InferenceEngine:
                 jnp.asarray(np.concatenate(stacks, 0), self.cache_dtype),
             )
             indices = jnp.asarray(np.concatenate(idx_parts, 1))
-        embeds = self._embed_prompt(self.params, ids, feats, indices)
 
         cache = self._make_cache(
             batch=bsz, max_len=_round_up(self.max_seq_len, self.chunk)
         )
         for start in range(0, padded, self.chunk):
-            chunk_embeds = jax.lax.dynamic_slice_in_dim(
-                embeds, start, self.chunk, axis=1
+            chunk_embeds = self._embed_chunk(
+                self.params, ids[:, start : start + self.chunk],
+                feats, indices, jnp.asarray(start, jnp.int32),
             )
             _, cache = self._prefill_chunk(
                 self.params, chunk_embeds, start, cache

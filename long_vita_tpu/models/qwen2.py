@@ -132,6 +132,20 @@ def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), scale
 
 
+def _with_lora(entry: Params, x: jnp.ndarray, out: jnp.ndarray,
+               cfg: Optional[TextConfig]) -> jnp.ndarray:
+    """Add a projection's low-rank update when the layer carries adapters.
+
+    Reference LoRA flag group (arguments.py:263-281). The adapters ride the
+    stacked layer pytree through the scan, so training, serving and beam
+    all see them with no separate code path; merge_lora (training/lora.py)
+    folds them into the base weights for export."""
+    if "lora" not in entry or cfg is None or cfg.lora_r == 0:
+        return out
+    scale = cfg.lora_alpha / cfg.lora_r
+    return out + ((x @ entry["lora"]["a"]) @ entry["lora"]["b"]) * scale
+
+
 def _cp_attention_sharded(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -293,9 +307,18 @@ def _attention_block(
     b, s, h = x.shape
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = (x @ layer["q_proj"]["kernel"] + layer["q_proj"]["bias"]).reshape(b, s, hq, d)
-    k = (x @ layer["k_proj"]["kernel"] + layer["k_proj"]["bias"]).reshape(b, s, hkv, d)
-    v = (x @ layer["v_proj"]["kernel"] + layer["v_proj"]["bias"]).reshape(b, s, hkv, d)
+    q = _with_lora(
+        layer["q_proj"], x, x @ layer["q_proj"]["kernel"], cfg
+    ) + layer["q_proj"]["bias"]
+    k = _with_lora(
+        layer["k_proj"], x, x @ layer["k_proj"]["kernel"], cfg
+    ) + layer["k_proj"]["bias"]
+    v = _with_lora(
+        layer["v_proj"], x, x @ layer["v_proj"]["kernel"], cfg
+    ) + layer["v_proj"]["bias"]
+    q = q.reshape(b, s, hq, d)
+    k = k.reshape(b, s, hkv, d)
+    v = v.reshape(b, s, hkv, d)
     q, k = apply_rope(q, k, cos, sin)
 
     new_cache_kv = None
@@ -423,7 +446,8 @@ def _attention_block(
             impl=attn_impl,
         )
 
-    out = out.reshape(b, s, hq * d) @ layer["o_proj"]["kernel"]
+    flat = out.reshape(b, s, hq * d)
+    out = _with_lora(layer["o_proj"], flat, flat @ layer["o_proj"]["kernel"], cfg)
     return out, new_cache_kv
 
 
@@ -441,9 +465,12 @@ def _mlp_block(
     partial-manual shard_map)."""
     if "router" in layer:
         return _moe_mlp_block(layer, x, cfg, parallel)
-    gate = x @ layer["gate_proj"]["kernel"]
-    up = x @ layer["up_proj"]["kernel"]
-    out = (jax.nn.silu(gate) * up) @ layer["down_proj"]["kernel"]
+    gate = _with_lora(layer["gate_proj"], x, x @ layer["gate_proj"]["kernel"], cfg)
+    up = _with_lora(layer["up_proj"], x, x @ layer["up_proj"]["kernel"], cfg)
+    act = jax.nn.silu(gate) * up
+    out = _with_lora(
+        layer["down_proj"], act, act @ layer["down_proj"]["kernel"], cfg
+    )
     return out, jnp.zeros((), jnp.float32)
 
 

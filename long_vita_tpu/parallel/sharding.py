@@ -31,7 +31,8 @@ Params = dict[str, Any]
 
 
 def text_param_specs(
-    fsdp: bool = False, pp: bool = False, moe: bool = False
+    fsdp: bool = False, pp: bool = False, moe: bool = False,
+    lora_targets: tuple = (),
 ) -> Params:
     """PartitionSpecs matching the pytree of models/qwen2.py params.
 
@@ -79,6 +80,13 @@ def text_param_specs(
         layers["gate_proj"] = {"kernel": col}
         layers["up_proj"] = {"kernel": col}
         layers["down_proj"] = {"kernel": row}
+    for t in lora_targets:
+        # adapters are tiny (rank r): replicate except the stacked layer
+        # dim (fsdp/pp follow the base weights)
+        layers[t]["lora"] = {
+            "a": P(ldim, None, None),
+            "b": P(ldim, None, None),
+        }
     return {
         "embed": {"embedding": vocab},  # vocab-parallel
         "layers": layers,
@@ -98,8 +106,15 @@ def long_vita_param_specs(
 ) -> Params:
     """Specs for the full VLM param pytree (vision/projector replicated —
     the 300M tower is cheaper gathered than streamed)."""
-    moe = "router" in params["text"]["layers"]
-    specs: Params = {"text": text_param_specs(fsdp, pp, moe)}
+    layer_params = params["text"]["layers"]
+    moe = "router" in layer_params
+    lora_targets = tuple(
+        t for t, e in layer_params.items()
+        if isinstance(e, dict) and "lora" in e
+    )
+    specs: Params = {
+        "text": text_param_specs(fsdp, pp, moe, lora_targets)
+    }
     if "vision" in params:
         specs["vision"] = _replicate_like(params["vision"])
         specs["projector"] = _replicate_like(params["projector"])

@@ -39,6 +39,7 @@ class OptimizerConfig:
     freeze_projector: bool = False
     freeze_text: bool = False
     freeze_embed: bool = False
+    lora_only: bool = False  # train ONLY adapter (lora) leaves
     moment_dtype: str = "float32"  # "bfloat16" halves Adam m-state memory
 
 
@@ -53,6 +54,10 @@ def trainable_mask(params: Params, cfg: OptimizerConfig) -> Params:
 
     def rule(path, _):
         p = _path_str(path)
+        if cfg.lora_only:
+            # parameter-efficient finetuning: only the adapters move
+            # (reference --lora-target-modules workflow)
+            return "/lora/" in p
         if p.startswith("vision"):
             return not cfg.freeze_vision
         if p.startswith("projector"):

@@ -91,6 +91,31 @@ def build_from_recipe(recipe: dict):
 
         params = restore_params_only(model_cfg["load_stage"], params)
 
+    if model_cfg.get("lora"):
+        # parameter-efficient finetuning (reference --lora-r/-alpha/
+        # -target-modules); base weights freeze via optim.lora_only
+        import dataclasses as _dc
+
+        from long_vita_tpu.training.lora import LoraConfig, add_lora_params
+
+        lspec = model_cfg["lora"]
+        lcfg = LoraConfig(
+            r=lspec.get("r", 16),
+            alpha=lspec.get("alpha", 32),
+            targets=tuple(lspec.get(
+                "targets", ("q_proj", "k_proj", "v_proj", "o_proj")
+            )),
+        )
+        params, text_cfg = add_lora_params(
+            params, cfg.text, lcfg, jax.random.PRNGKey(tcfg.seed),
+            dtype=dtype,
+        )
+        cfg = _dc.replace(cfg, text=text_cfg)
+        if lspec.get("lora_only", True):
+            tcfg = _dc.replace(
+                tcfg, optim=_dc.replace(tcfg.optim, lora_only=True)
+            )
+
     mm = MultimodalTokenizer(
         tokenizer,
         image_processor=ImageProcessor(
