@@ -51,6 +51,7 @@ def test_lora_init_is_identity():
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lora_only_training_moves_only_adapters():
     from long_vita_tpu.training.optimizer import (
         OptimizerConfig, make_optimizer,
@@ -135,6 +136,7 @@ def test_lora_save_load_roundtrip(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_lora_sharded_train_step():
     """Adapters ride the mesh (fsdp ldim) without spec mismatches."""
     from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
