@@ -44,6 +44,7 @@ def engine():
     )
 
 
+@pytest.mark.slow
 def test_mid_flight_join_matches_solo(engine):
     """Requests joining at different ticks reproduce their solo outputs."""
     rng = np.random.default_rng(0)
@@ -64,6 +65,7 @@ def test_mid_flight_join_matches_solo(engine):
         assert done[rid].token_ids == want.token_ids, rid
 
 
+@pytest.mark.slow
 def test_slot_reuse_more_requests_than_slots(engine):
     rng = np.random.default_rng(1)
     prompts = [rng.integers(0, 1000, size=20 + i).tolist() for i in range(5)]

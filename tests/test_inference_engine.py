@@ -157,6 +157,7 @@ def test_stop_tokens_and_logprobs(engine):
     assert all(t not in set(nl) for t in res.token_ids)
 
 
+@pytest.mark.slow
 def test_kv_quant_engine_close_to_fp(engine):
     """int8 KV cache generation tracks the fp cache closely (greedy)."""
     import numpy as np
@@ -231,6 +232,7 @@ def test_beam_size_one_matches_greedy(engine):
     assert hyps[0].token_ids[: len(tokens)] == tokens
 
 
+@pytest.mark.slow
 def test_beam_search_scores_sorted_and_unique(engine):
     from long_vita_tpu.inference.beam_search import beam_search
 
@@ -269,6 +271,7 @@ def test_generate_batch_matches_sequential(engine):
         assert s.token_ids == b.token_ids
 
 
+@pytest.mark.slow
 def test_generate_batch_with_images(engine):
     reqs = [
         {

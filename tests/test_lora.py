@@ -41,6 +41,7 @@ def _fwd(params, cfg, ids):
     return h
 
 
+@pytest.mark.slow
 def test_lora_init_is_identity():
     """B = 0 at init: adapted forward == base forward exactly."""
     base, params, cfg, _ = _setup()
@@ -90,6 +91,7 @@ def test_lora_only_training_moves_only_adapters():
     assert float(jnp.max(jnp.abs(layers["q_proj"]["lora"]["b"]))) > 0
 
 
+@pytest.mark.slow
 def test_merge_lora_matches_adapted_forward():
     base, params, cfg, lcfg = _setup()
     # give the adapters nonzero B so the merge is nontrivial

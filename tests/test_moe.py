@@ -116,6 +116,7 @@ def _moe_cfg(num_experts=4, cap=4.0):
     )
 
 
+@pytest.mark.slow
 def test_moe_decoder_forward_and_aux():
     from long_vita_tpu.models import qwen2
 

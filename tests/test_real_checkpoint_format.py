@@ -60,6 +60,7 @@ def test_config_json_roundtrip(sharded_ckpt):
     assert loaded.vision.num_hidden_layers == cfg.vision.num_hidden_layers
 
 
+@pytest.mark.slow
 def test_sharded_bf16_multimodal_logits_match(sharded_ckpt):
     """Full pipeline on disk artifacts: sharded bf16 files -> pytree ->
     multimodal forward, vs the torch reference on the same weights."""

@@ -186,6 +186,7 @@ def test_train_step_with_pipeline_parallel(mm):
     assert np.isfinite(result["losses"][0])
 
 
+@pytest.mark.slow
 def test_evaluate_loop(mm):
     cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
     params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
