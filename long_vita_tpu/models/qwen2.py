@@ -393,19 +393,17 @@ def _attention_block(
                 ks = jax.lax.dynamic_index_in_dim(ks_full, layer_idx, keepdims=False)
                 vs = jax.lax.dynamic_index_in_dim(vs_full, layer_idx, keepdims=False)
                 if s > 1:
-                    # prefill chunk: dequantize the layer slice and take the
-                    # flash kernel (the fused-int8 path would materialize
-                    # [chunk, Smax] f32 logits)
-                    ck_d = (ck.astype(jnp.float32) * ks).astype(q.dtype)
-                    cv_d = (cv.astype(jnp.float32) * vs).astype(q.dtype)
-                    out = dot_product_attention(
-                        q, ck_d, cv_d, causal=True,
+                    # prefill chunk: int8-fused flash — the cache is
+                    # dequantized PER BLOCK in VMEM (a whole-slice dequant
+                    # is a multi-GB HBM transient at 768K+)
+                    from long_vita_tpu.ops.attention import (
+                        quant_prefill_attention,
+                    )
+
+                    out = quant_prefill_attention(
+                        q, ck, ks, cv, vs,
                         q_positions=position_ids,
-                        kv_positions=jnp.broadcast_to(
-                            jnp.arange(ck.shape[1]), (b, ck.shape[1])
-                        ),
                         kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
-                        impl=attn_impl,
                     )
                 else:
                     from long_vita_tpu.ops.attention import xla_attention_quant

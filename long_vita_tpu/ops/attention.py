@@ -154,6 +154,42 @@ def xla_attention_quant(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
+def quant_prefill_attention(
+    q: jnp.ndarray,
+    k_q: jnp.ndarray,
+    k_scale: jnp.ndarray,
+    v_q: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    *,
+    q_positions: jnp.ndarray,
+    kv_valid_len: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """Chunked-prefill attention against an int8 KV cache.
+
+    On TPU: the int8-fused flash kernel (per-block VMEM dequantization —
+    the whole-slice dequant it replaces was a multi-GB HBM transient that
+    capped single-chip context). Elsewhere / tiny chunks: dequantize and
+    take the XLA reference path."""
+    if _on_tpu() and q.shape[1] >= 128:
+        from long_vita_tpu.ops.flash_attention import flash_attention_quant
+
+        return flash_attention_quant(
+            q, k_q, k_scale, v_q, v_scale,
+            q_offset=q_positions[0, 0],
+            kv_valid_len=kv_valid_len[0],
+        )
+    b = q.shape[0]
+    skv = k_q.shape[1]
+    k = (k_q.astype(jnp.float32) * k_scale).astype(q.dtype)
+    v = (v_q.astype(jnp.float32) * v_scale).astype(q.dtype)
+    return xla_attention(
+        q, k, v, causal=True,
+        q_positions=q_positions,
+        kv_positions=jnp.broadcast_to(jnp.arange(skv), (b, skv)),
+        kv_valid_len=kv_valid_len,
+    )
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

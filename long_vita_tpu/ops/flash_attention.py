@@ -213,6 +213,82 @@ def _fwd_kernel_noseg(qo, ko, klen, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 lse_ref, acc, m, l, **kw)
 
 
+def _fwd_quant_kernel(
+    qo_ref, ko_ref, klen_ref,
+    q_ref,   # [1, 1, BQ, D] bf16
+    k_ref,   # [1, 1, BK, D] int8
+    v_ref,   # [1, 1, BK, D] int8
+    ks_ref,  # [1, 1, BK, 1] f32 per-(token, head) scales
+    vs_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *, causal, sm_scale, block_q, block_kv, num_kv_blocks,
+):
+    """Flash forward against an int8 KV cache: the dequantization happens
+    PER BLOCK in VMEM, so the bf16 cache never materializes in HBM (the
+    former prefill path dequantized the whole layer slice — 3+ GB f32
+    transient at 768K, the single-chip context ceiling)."""
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+
+    q_off = qo_ref[0]
+    k_off = ko_ref[0]
+    k_len = klen_ref[0]
+
+    @pl.when(jk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q_blk_max = q_off + (iq + 1) * block_q - 1
+    kv_blk_min = k_off + jk * block_kv
+    compute = jk * block_kv < k_len
+    if causal:
+        compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+
+    @pl.when(compute)
+    def _step():
+        q = q_ref[0, 0]
+        k = (
+            k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]
+        ).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        mask = _mask_block(
+            q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+            None, None,
+        )
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_new
+
+        v = (
+            v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
+        ).astype(q.dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(jk == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse = m_ref[...] + jnp.log(l_safe)
+        lse_ref[0, 0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
+
+
 def _fwd(
     q, k, v, q_offset, kv_offset, kv_len, q_segment_ids, kv_segment_ids,
     *, causal: bool, block_q: int, block_kv: int, sm_scale: float,
@@ -1049,6 +1125,113 @@ def _prepare(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
         ks = jnp.pad(kv_segment_ids, ((0, 0), (0, skv_pad - skv)), constant_values=-2)
         segs = (qs.astype(jnp.int32), ks.astype(jnp.int32))
     return qp, kp, vp, segs
+
+
+def flash_attention_quant(
+    q: jnp.ndarray,        # [B, Sq, Hq, D] bf16/f32
+    k_q: jnp.ndarray,      # [B, Skv, Hkv, D] int8
+    k_scale: jnp.ndarray,  # [B, Skv, Hkv, 1] f32
+    v_q: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    *,
+    q_offset=0,
+    kv_offset=0,
+    kv_valid_len=None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+) -> jnp.ndarray:
+    """Causal flash attention against an int8 KV cache (chunked prefill).
+
+    Forward-only (inference path); per-block VMEM dequantization — the
+    bf16 cache never exists in HBM. No segment support (cache slots are
+    positional)."""
+    b, sq, hq, d = q.shape
+    skv, hkv = k_q.shape[1], k_q.shape[2]
+    group = hq // hkv
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(skv, 128))
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_kv)
+    d_pad = _round_up(d, _LANE)
+
+    def hm(x, s_pad, pad_val=0):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, last]
+        return jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+             (0, (d_pad - x.shape[3]) if x.shape[3] == d else 0)),
+            constant_values=pad_val,
+        )
+
+    qp = hm(q, sq_pad)
+    kp = hm(k_q, skv_pad)
+    vp = hm(v_q, skv_pad)
+    ksp = hm(k_scale, skv_pad)
+    vsp = hm(v_scale, skv_pad)
+
+    qo = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    ko = jnp.asarray(kv_offset, jnp.int32).reshape(1)
+    klen = (
+        jnp.asarray([skv], jnp.int32) if kv_valid_len is None
+        else jnp.asarray(kv_valid_len, jnp.int32).reshape(-1)[:1]
+    )
+
+    n_q = sq_pad // block_q
+    n_kv = skv_pad // block_kv
+
+    def q_index(b_, h, iq, jk, *_):
+        return (b_, h, iq, 0)
+
+    def _clamped_jk(iq, jk, qo_, ko_):
+        q_blk_max = qo_[0] + (iq + 1) * block_q - 1
+        diag = jax.lax.div(q_blk_max - ko_[0], block_kv)
+        return jnp.clip(jnp.minimum(jk, diag), 0, n_kv - 1)
+
+    def kv_index(b_, h, iq, jk, qo_, ko_, klen_):
+        return (b_, h // group, _clamped_jk(iq, jk, qo_, ko_), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
+            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad), q_index),
+            pl.BlockSpec(
+                (1, 1, 1, block_q, 1),
+                lambda b_, h, iq, jk, *_: (b_, h, iq, 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_quant_kernel, causal=True, sm_scale=1.0 / (d ** 0.5),
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,
+    )
+    o, _lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, hq, n_q, block_q, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary",
+            ),
+        ),
+    )(qo, ko, klen, qp, kp, vp, ksp, vsp)
+    return jnp.transpose(o, (0, 2, 1, 3))[:, :sq, :, :d]
 
 
 def flash_attention(

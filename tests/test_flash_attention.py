@@ -209,3 +209,44 @@ def test_fused_backward_matches_two_pass(causal):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5
         )
+
+
+@pytest.mark.slow
+def test_flash_quant_matches_dequantized_reference():
+    """Int8-fused flash forward == dequantize + XLA attention."""
+    from long_vita_tpu.ops.attention import xla_attention
+    from long_vita_tpu.ops.flash_attention import flash_attention_quant
+
+    rng = np.random.default_rng(21)
+    b, sq, skv, hq, hkv, d = 1, 256, 512, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), jnp.float32)
+    kf = rng.standard_normal((b, skv, hkv, d)).astype(np.float32)
+    vf = rng.standard_normal((b, skv, hkv, d)).astype(np.float32)
+
+    def quantize(x):
+        amax = np.abs(x).max(axis=-1, keepdims=True)
+        scale = np.maximum(amax, 1e-8) / 127.0
+        qx = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(qx), jnp.asarray(scale, jnp.float32)
+
+    k_q, k_s = quantize(kf)
+    v_q, v_s = quantize(vf)
+    k_deq = np.asarray(k_q, np.float32) * np.asarray(k_s)
+    v_deq = np.asarray(v_q, np.float32) * np.asarray(v_s)
+
+    valid = 400  # cache only partially filled
+    q_off = valid - sq  # chunk positions [144, 400)
+    want = xla_attention(
+        q, jnp.asarray(k_deq, jnp.float32), jnp.asarray(v_deq, jnp.float32),
+        causal=True,
+        q_positions=jnp.broadcast_to(q_off + jnp.arange(sq), (b, sq)),
+        kv_positions=jnp.broadcast_to(jnp.arange(skv), (b, skv)),
+        kv_valid_len=jnp.asarray([valid]),
+    )
+    got = flash_attention_quant(
+        q, k_q, k_s, v_q, v_s,
+        q_offset=q_off, kv_valid_len=jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
