@@ -218,16 +218,17 @@ def _fwd_quant_kernel(
     q_ref,   # [1, 1, BQ, D] bf16
     k_ref,   # [1, 1, BK, D] int8
     v_ref,   # [1, 1, BK, D] int8
-    ks_ref,  # [1, 1, BK, 1] f32 per-(token, head) scales
-    vs_ref,
-    o_ref, lse_ref,
+    ks_ref,  # [1, 1, 1, BK] f32 per-(token, head) scales as ROW vectors
+    vs_ref,  #   (a trailing [BK, 1] layout tile-pads 128x on TPU — 3 GB
+    o_ref, lse_ref,  # for 24 MB of scales at 768K)
     acc_ref, m_ref, l_ref,
     *, causal, sm_scale, block_q, block_kv, num_kv_blocks,
 ):
-    """Flash forward against an int8 KV cache: the dequantization happens
-    PER BLOCK in VMEM, so the bf16 cache never materializes in HBM (the
-    former prefill path dequantized the whole layer slice — 3+ GB f32
-    transient at 768K, the single-chip context ceiling)."""
+    """Flash forward against an int8 KV cache. The dequantization is
+    per-ROW, so it folds into the surrounding math instead of scaling k/v
+    elementwise (the xla_attention_quant trick, in-kernel): logits pick up
+    the k scale AFTER the int8 dot, probs pick up the v scale BEFORE the
+    int8 dot — the bf16 cache never materializes anywhere."""
     iq = pl.program_id(2)
     jk = pl.program_id(3)
 
@@ -250,12 +251,11 @@ def _fwd_quant_kernel(
     @pl.when(compute)
     def _step():
         q = q_ref[0, 0]
-        k = (
-            k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]
-        ).astype(q.dtype)
+        k = k_ref[0, 0].astype(q.dtype)  # exact cast, |v| <= 127
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
+        s = s * ks_ref[0, 0]  # [1, BK] row scales broadcast over q rows
         mask = _mask_block(
             q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
             None, None,
@@ -271,11 +271,10 @@ def _fwd_quant_kernel(
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_new
 
-        v = (
-            v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
-        ).astype(q.dtype)
+        v = v_ref[0, 0].astype(q.dtype)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            (p * vs_ref[0, 0]).astype(v.dtype), v,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * alpha + pv
@@ -1166,8 +1165,13 @@ def flash_attention_quant(
     qp = hm(q, sq_pad)
     kp = hm(k_q, skv_pad)
     vp = hm(v_q, skv_pad)
-    ksp = hm(k_scale, skv_pad)
-    vsp = hm(v_scale, skv_pad)
+
+    def hm_scale(x):  # [B, S, Hkv, 1] f32 -> [B, Hkv, 1, S_pad] row layout
+        x = jnp.transpose(x[..., 0], (0, 2, 1))[:, :, None, :]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, skv_pad - skv)))
+
+    ksp = hm_scale(k_scale)
+    vsp = hm_scale(v_scale)
 
     qo = jnp.asarray(q_offset, jnp.int32).reshape(1)
     ko = jnp.asarray(kv_offset, jnp.int32).reshape(1)
@@ -1197,8 +1201,18 @@ def flash_attention_quant(
             pl.BlockSpec((1, 1, block_q, d_pad), q_index),
             pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
             pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
-            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
-            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
+            pl.BlockSpec(
+                (1, 1, 1, block_kv),
+                lambda b_, h, iq, jk, qo_, ko_, klen_: (
+                    b_, h // group, 0, _clamped_jk(iq, jk, qo_, ko_)
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, block_kv),
+                lambda b_, h, iq, jk, qo_, ko_, klen_: (
+                    b_, h // group, 0, _clamped_jk(iq, jk, qo_, ko_)
+                ),
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d_pad), q_index),
