@@ -58,8 +58,6 @@ class ContinuousEngine:
         tick: int = 16,
         seed: int = 0,
     ):
-        if engine.parallel is not None:
-            raise ValueError("continuous batching requires cp=1 engines")
         self.engine = engine
         self.sampling = sampling
         self.max_slots = max_slots

@@ -362,12 +362,13 @@ class InferenceEngine:
 
         batch_inputs: list of (input_ids, images, image_indices) per row.
         -> (cache with per-row lengths, last-row hidden [B, H], lengths [B]).
+
+        Composes with cp-sharded caches: prefill chunks write at batch-
+        uniform offsets (all rows pad to one chunk grid), and the per-row
+        realignment + decode ride the vector-cache_len shard_map path
+        (ops/cp_cache_attention.py) — the reference's CP server is strictly
+        one-at-a-time (text_generation_server.py:25-32).
         """
-        if self.parallel is not None:
-            raise ValueError(
-                "batched serving does not compose with cp-sharded caches "
-                "yet; run batch-1 on cp meshes"
-            )
         bsz = len(batch_inputs)
         lengths = np.asarray([len(x[0]) for x in batch_inputs], np.int32)
         if lengths.max() > self.max_seq_len:

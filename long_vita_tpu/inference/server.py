@@ -464,11 +464,7 @@ def make_server(
     server = ThreadingHTTPServer((host, port), handler)
     server.generate_lock = threading.Lock()  # beam / multihost serial path
     server.batcher = None
-    if (
-        max_batch > 1
-        and jax.process_count() == 1
-        and engine.parallel is None  # cp-sharded caches stay batch-1
-    ):
+    if max_batch > 1 and jax.process_count() == 1:
         if continuous:
             server.batcher = ContinuousBatcher(
                 engine, max_slots=max_batch,

@@ -337,14 +337,19 @@ def _attention_block(
             k_sc = v_sc = None
 
         # cp-sharded cache: the write AND the attention must both happen
-        # shard-locally (see _cp_cached_update_attend_sharded). The one
-        # exception is the int8 prefill chunk, which dequantizes the full
-        # layer slice for the flash kernel below.
-        if parallel is not None and not (quant and s > 1):
+        # shard-locally (see _cp_cached_update_attend_sharded) — including
+        # int8 prefill chunks (the quant flash kernel runs on the local
+        # shard) and ragged batched decode (vector cache_len: each row at
+        # its own frontier).
+        if parallel is not None:
+            q_off = (
+                position_ids[:, 0] if cache_len.ndim == 1
+                else position_ids[0, 0]
+            )
             out, ck_full, cv_full, ks_full, vs_full = (
                 _cp_cached_update_attend_sharded(
                     q, ck_full, cv_full, ks_full, vs_full, k_w, v_w,
-                    k_sc, v_sc, layer_idx, cache_len, position_ids[0, 0],
+                    k_sc, v_sc, layer_idx, cache_len, q_off,
                     parallel,
                 )
             )

@@ -21,10 +21,37 @@ import jax.numpy as jnp
 from long_vita_tpu.ops.flash_attention import NEG_INF
 
 
-def _local_partial(q, k_shard, v_shard, q_offset, shard_start, valid_len):
-    """(o, lse) of q vs the local cache shard, exact global causal mask."""
+def _local_partial(
+    q, k_shard, v_shard, q_offset, shard_start, valid_len,
+    k_scale=None, v_scale=None,
+):
+    """(o, lse) of q vs the local cache shard, exact global causal mask.
+
+    q_offset / valid_len may be scalars or [B] vectors (ragged batched
+    serving — each row attends up to its own frontier). With
+    k_scale/v_scale the shard is int8: on TPU the int8-fused flash kernel
+    dequantizes per block in VMEM; the XLA fallback folds the per-row
+    scales into the matmuls (xla_attention_quant pattern) — either way no
+    bf16 copy of the shard ever lands in HBM."""
     b, sq, hq, d = q.shape
-    if jax.default_backend() == "tpu" and sq >= 128 and sq % 128 == 0:
+    per_row = (
+        getattr(q_offset, "ndim", 0) == 1
+        or getattr(valid_len, "ndim", 0) == 1
+    )
+    if (
+        jax.default_backend() == "tpu" and sq >= 128 and sq % 128 == 0
+        and not per_row
+    ):
+        if k_scale is not None:
+            from long_vita_tpu.ops.flash_attention import (
+                flash_attention_quant,
+            )
+
+            return flash_attention_quant(
+                q, k_shard, k_scale, v_shard, v_scale,
+                q_offset=q_offset, kv_offset=shard_start,
+                kv_valid_len=valid_len, return_lse=True,
+            )
         from long_vita_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
@@ -32,26 +59,47 @@ def _local_partial(q, k_shard, v_shard, q_offset, shard_start, valid_len):
             q_offset=q_offset, kv_offset=shard_start,
             kv_valid_len=valid_len, return_lse=True,
         )
-    # XLA fallback (CPU tests / tiny q): positions-based masks, LSE out
+    # XLA fallback (CPU tests / decode-sized q): positions-based masks,
+    # LSE out, optional fused int8 scales
     skv = k_shard.shape[1]
     hkv = k_shard.shape[2]
     g = hq // hkv
     qg = q.reshape(b, sq, hkv, g, d)
-    s = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, k_shard, preferred_element_type=jnp.float32
-    ) / (d ** 0.5)
-    q_pos = q_offset + jnp.arange(sq)
-    kv_pos = shard_start + jnp.arange(skv)
+    if k_scale is not None:
+        s = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg.astype(jnp.bfloat16),
+            k_shard.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        ks = jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
+        s = s * ks / (d ** 0.5)
+    else:
+        s = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg, k_shard,
+            preferred_element_type=jnp.float32,
+        ) / (d ** 0.5)
+    q_pos = jnp.reshape(jnp.asarray(q_offset), (-1, 1)) + jnp.arange(sq)
+    vlen = jnp.reshape(jnp.asarray(valid_len), (-1, 1))  # [B or 1, 1]
+    kv_idx = jnp.arange(skv)
     mask = jnp.logical_and(
-        kv_pos[None, :] <= q_pos[:, None],
-        (jnp.arange(skv) < valid_len)[None, :],
-    )  # [sq, skv]
-    s = jnp.where(mask[None, None, None], s, NEG_INF)
+        (shard_start + kv_idx)[None, None, :] <= q_pos[:, :, None],
+        kv_idx[None, None, :] < vlen[:, :, None],
+    )  # [B or 1, sq, skv]
+    mask = jnp.broadcast_to(mask, (b, sq, skv))[:, None, None]
+    s = jnp.where(mask, s, NEG_INF)
     m = jnp.max(s, axis=-1)
     l = jnp.sum(jnp.exp(s - m[..., None]), axis=-1)
     lse = jnp.where(l == 0, NEG_INF, m + jnp.log(jnp.where(l == 0, 1.0, l)))
     p = jnp.exp(s - lse[..., None])
-    o = jnp.einsum("bhgqk,bkhd->bqhgd", p.astype(v_shard.dtype), v_shard)
+    if v_scale is not None:
+        vs = jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
+        o = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", (p * vs).astype(jnp.bfloat16),
+            v_shard.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        o = jnp.einsum("bhgqk,bkhd->bqhgd", p.astype(v_shard.dtype), v_shard)
     o = o.reshape(b, sq, hq, d)
     lse = lse.reshape(b, hkv * g, sq)
     return o.astype(q.dtype), lse
@@ -66,10 +114,33 @@ def _shard_update(cache_shard, new_rows, layer_idx, cache_len, axis_name):
     can't place the write); inside shard_map the offset is rank-local and
     the write touches s rows. Handles writes that straddle shard
     boundaries: each rank takes the overlapping rows, others keep theirs.
+
+    cache_len may be a [B] vector (ragged batched decode): each row writes
+    one token at its own frontier; rows whose frontier lies in another
+    rank's shard keep this shard untouched.
     """
     r = jax.lax.axis_index(axis_name)
     c = cache_shard.shape[2]
     s = new_rows.shape[1]
+    if getattr(cache_len, "ndim", 0) == 1:
+        if s != 1:
+            raise ValueError(
+                "per-row cp cache writes support 1-token steps only"
+            )
+        b = new_rows.shape[0]
+        bidx = jnp.arange(b)
+        off = cache_len - r * c  # [B] local slot per row
+        offc = jnp.clip(off, 0, c - 1)
+        valid = jnp.logical_and(off >= 0, off < c)
+        layer = jax.lax.dynamic_index_in_dim(
+            cache_shard, layer_idx, keepdims=False
+        )  # [B, C, H, ...]
+        cur = layer[bidx, offc]  # [B, H, ...]
+        val = jnp.where(
+            valid[:, None, None], new_rows[:, 0].astype(cache_shard.dtype),
+            cur,
+        )
+        return cache_shard.at[layer_idx, bidx, offc].set(val)
     off = cache_len - r * c  # intended local offset (may be outside [0, c-s])
     offc = jnp.clip(off, 0, c - s)
     # local slot offc+i should receive new_rows[offc+i - off]
@@ -139,7 +210,12 @@ def cp_cached_attention(
     """Merge per-shard partials across cp. Must run inside shard_map.
 
     With k_scale/v_scale the shards are int8 (models/qwen2.py quantize_kv);
-    dequantization happens shard-locally so only int8 bytes cross HBM.
+    dequantization is fused into the shard-local attention (_local_partial:
+    per-block VMEM dequant in the flash kernel, scale-folded matmuls in the
+    XLA fallback) so only int8 bytes cross HBM.
+
+    q_offset / cache_len may be [B] vectors (ragged batched decode — each
+    row reads up to its own frontier).
 
     q_sharded (chunked prefill): q arrives SEQUENCE-sharded over cp so the
     surrounding QKV/MLP GEMMs run on 1/cp of the chunk per rank (without
@@ -154,16 +230,12 @@ def cp_cached_attention(
     shard_start = r * c
     valid_len = jnp.clip(cache_len - shard_start, 0, c)
 
-    if k_scale is not None:
-        # shard-local dequant (bf16 copy of ONE shard, 1/cp of the cache)
-        k_shard = (k_shard.astype(jnp.float32) * k_scale).astype(q.dtype)
-        v_shard = (v_shard.astype(jnp.float32) * v_scale).astype(q.dtype)
-
     if q_sharded:
         q = jax.lax.all_gather(q, axis_name, axis=1, tiled=True)
 
     o, lse = _local_partial(
-        q, k_shard, v_shard, q_offset, shard_start, valid_len
+        q, k_shard, v_shard, q_offset, shard_start, valid_len,
+        k_scale, v_scale,
     )  # o [B,Sq,H,D], lse [B,H,Sq]
 
     lse_max = jax.lax.pmax(lse, axis_name)

@@ -1138,12 +1138,15 @@ def flash_attention_quant(
     kv_valid_len=None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """Causal flash attention against an int8 KV cache (chunked prefill).
 
     Forward-only (inference path); per-block VMEM dequantization — the
     bf16 cache never exists in HBM. No segment support (cache slots are
-    positional)."""
+    positional). return_lse: also return the log-sum-exp [B, Hq, Sq] f32
+    (NEG_INF where a row saw no valid kv) — the cp-sharded serving path
+    merges per-shard partials with it (ops/cp_cache_attention.py)."""
     b, sq, hq, d = q.shape
     skv, hkv = k_q.shape[1], k_q.shape[2]
     group = hq // hkv
@@ -1231,7 +1234,7 @@ def flash_attention_quant(
         _fwd_quant_kernel, causal=True, sm_scale=1.0 / (d ** 0.5),
         block_q=block_q, block_kv=block_kv, num_kv_blocks=n_kv,
     )
-    o, _lse = pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -1245,7 +1248,10 @@ def flash_attention_quant(
             ),
         ),
     )(qo, ko, klen, qp, kp, vp, ksp, vsp)
-    return jnp.transpose(o, (0, 2, 1, 3))[:, :sq, :, :d]
+    o = jnp.transpose(o, (0, 2, 1, 3))[:, :sq, :, :d]
+    if return_lse:
+        return o, lse[..., 0].reshape(b, hq, sq_pad)[:, :, :sq]
+    return o
 
 
 def flash_attention(

@@ -87,6 +87,33 @@ def test_slot_reuse_more_requests_than_slots(engine):
         assert results[idx].token_ids == want.token_ids, idx
 
 
+@pytest.mark.slow
+def test_continuous_on_cp_mesh(engine):
+    """The slot-pool decode composes with cp-sharded caches (VERDICT #4:
+    continuous batching must be available on the 1M pod deployment)."""
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1, cp=2, tp=2), devices=jax.devices()[:4])
+    sharded = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=128,
+        cache_dtype=jnp.float32, mesh=mesh,
+    )
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 1000, size=n).tolist() for n in (30, 55)]
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    solo = [engine.generate(input_ids=p, sampling=sp) for p in prompts]
+
+    ce = ContinuousEngine(sharded, sp, max_slots=2, tick=3)
+    r0 = ce.add_request(prompts[0])
+    done = dict(ce.step())
+    r1 = ce.add_request(prompts[1])  # joins mid-flight on the cp mesh
+    for rid, res in ce.run_to_completion():
+        done[rid] = res
+    for rid, want in zip((r0, r1), solo):
+        assert done[rid].token_ids == want.token_ids, rid
+
+
 def test_set_sampling_requires_drained_pool(engine):
     sp = SamplingParams(greedy=True, max_new_tokens=4)
     ce = ContinuousEngine(engine, sp, max_slots=2, tick=2)

@@ -173,6 +173,45 @@ def test_flash_lse_output():
     np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=1e-5, atol=1e-5)
 
 
+def test_flash_quant_lse_output():
+    """The int8-fused kernel's LSE must match the dequantized reference —
+    including NEG_INF rows when kv_valid_len masks the whole shard (the cp
+    merge weights partials by exp(lse - max); a shard that saw nothing must
+    weigh zero). VERDICT #3 plumbing."""
+    from long_vita_tpu.models.qwen2 import quantize_kv
+    from long_vita_tpu.ops.flash_attention import (
+        NEG_INF,
+        flash_attention_quant,
+    )
+
+    rng = np.random.default_rng(12)
+    q, k, v = _rand_qkv(rng, 1, 128, 256, 4, 2, 64)
+    k_q, k_sc = quantize_kv(k)
+    v_q, v_sc = quantize_kv(v)
+    o, lse = flash_attention_quant(
+        q, k_q, k_sc, v_q, v_sc, q_offset=128, kv_offset=0,
+        kv_valid_len=200, block_q=128, block_kv=128, return_lse=True,
+    )
+    k_dq = np.asarray(k_q, np.float32) * np.asarray(k_sc)
+    scale = 1.0 / np.sqrt(64)
+    g = 2  # hq // hkv
+    kk = np.repeat(k_dq, g, axis=2)
+    logits = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), kk) * scale
+    q_pos = 128 + np.arange(128)
+    kv_pos = np.arange(256)
+    mask = (kv_pos[None, :] <= q_pos[:, None]) & (kv_pos < 200)[None, :]
+    logits = np.where(mask[None, None], logits, -np.inf)
+    want_lse = np.log(np.sum(np.exp(logits), axis=-1))
+    np.testing.assert_allclose(np.asarray(lse), want_lse, rtol=1e-4, atol=1e-4)
+
+    # fully-masked shard: lse pins to NEG_INF
+    _, lse0 = flash_attention_quant(
+        q, k_q, k_sc, v_q, v_sc, q_offset=128, kv_offset=1024,
+        kv_valid_len=0, block_q=128, block_kv=128, return_lse=True,
+    )
+    assert np.all(np.asarray(lse0) <= NEG_INF / 2)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("causal", [True, False])
 def test_fused_backward_matches_two_pass(causal):
