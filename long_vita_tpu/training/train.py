@@ -137,8 +137,10 @@ def build_from_recipe(recipe: dict):
 
 
 def main(argv=None):
+    from long_vita_tpu.training.distributed import maybe_initialize
     from long_vita_tpu.utils.compile_cache import enable as _enable_cache
 
+    maybe_initialize()  # multi-host pods: LVT_COORDINATOR/.. env contract
     _enable_cache()
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser()

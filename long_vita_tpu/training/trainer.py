@@ -211,10 +211,22 @@ class Trainer:
 
                 dump_first_batch(tcfg.output_dir, batch, tokenizer)
                 first_batch_dumped = True
-            batch = {
-                k: (jnp.asarray(v) if v is not None else None)
-                for k, v in batch.items()
-            }
+            if jax.process_count() > 1 and self.mesh is not None:
+                # multi-controller: this host's dp rows -> global arrays
+                # (the reference's TP-rank-0 read + broadcast analogue,
+                # training/utils.py:410-481)
+                from long_vita_tpu.training.distributed import (
+                    make_global_batch,
+                )
+
+                batch = make_global_batch(
+                    batch, self.mesh, tcfg.global_batch, tcfg.seq_len
+                )
+            else:
+                batch = {
+                    k: (jnp.asarray(v) if v is not None else None)
+                    for k, v in batch.items()
+                }
             self.state, metrics = self.step_fn(self.state, batch)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):  # reference NaN tripwire
@@ -285,11 +297,21 @@ def make_data_pipeline(
     )
     from long_vita_tpu.data.prefetch import prefetch
 
-    return prefetch(
-        batch_iterator(
-            iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
-            tcfg.cp_algo, tcfg.cp_inner,
-            on_drop="warn" if tcfg.allow_logit_drop else "error",
-        ),
-        depth=2,
+    it = batch_iterator(
+        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
+        tcfg.cp_algo, tcfg.cp_inner,
+        on_drop="warn" if tcfg.allow_logit_drop else "error",
     )
+    import jax as _jax
+
+    if _jax.process_count() > 1 and tcfg.mesh.size > 1:
+        # multi-controller: every host walks the same pack stream and keeps
+        # only its dp rows (tokenization repeats per host — the same trade
+        # the reference's TP-rank-0 re-read+broadcast makes — but device
+        # feeding is 1/dp); make_global_batch reassembles in Trainer.train
+        from long_vita_tpu.parallel.mesh import make_mesh
+        from long_vita_tpu.training.distributed import local_rows
+
+        mesh = make_mesh(tcfg.mesh)
+        it = (local_rows(b, mesh, tcfg.global_batch) for b in it)
+    return prefetch(it, depth=2)
