@@ -71,6 +71,8 @@ class ContinuousEngine:
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
         self._next_id = 0
         self._stop_set = {engine.eos_id, *sampling.stop_token_ids}
+        # in-flight chunked admission: (rid, slot, PrefillJob)
+        self._admission = None
 
     # -- jitted ----------------------------------------------------------
 
@@ -100,27 +102,52 @@ class ContinuousEngine:
 
     @property
     def free_slots(self) -> int:
-        return sum(s is None for s in self.slots)
+        n = sum(s is None for s in self.slots)
+        return n - (1 if self._admission is not None else 0)
 
     @property
     def active(self) -> int:
-        return self.max_slots - self.free_slots
+        return self.max_slots - sum(s is None for s in self.slots)
 
-    def add_request(
+    @property
+    def admission_pending(self) -> bool:
+        return self._admission is not None
+
+    def start_admission(
         self,
         input_ids,
         images=None,
         image_indices=None,
     ) -> int:
-        """Prefill a request into a free slot; returns the request id."""
+        """Reserve a slot and begin a CHUNKED prefill for a new request.
+
+        Drive with admission_step() between decode ticks — one prompt chunk
+        per call, so a long admission never stalls in-flight decodes for
+        more than ~one chunk (the reference server and the round-2 batcher
+        both ran the whole prefill under the lock). Returns the request id.
+        """
+        if self._admission is not None:
+            raise RuntimeError("an admission is already in flight")
         slot = next(
             (i for i, s in enumerate(self.slots) if s is None), None
         )
         if slot is None:
             raise RuntimeError("no free slots")
-        staged, last_hidden, true_len = self.engine.prefill(
-            input_ids, images, image_indices
-        )
+        job = self.engine.start_prefill(input_ids, images, image_indices)
+        rid = self._next_id
+        self._next_id += 1
+        self._admission = (rid, slot, job)
+        return rid
+
+    def admission_step(self) -> Optional[int]:
+        """One prefill chunk of the in-flight admission; on the final call
+        the row drops into its slot and the rid is returned (None before)."""
+        rid, slot, job = self._admission
+        if not job.done:
+            self.engine.prefill_step(job)
+            if not job.done:
+                return None
+        staged, last_hidden, true_len = self.engine.finish_prefill(job)
         self.rng, sub = jax.random.split(self.rng)
         token, lp = self.engine._head_sample(
             self.engine.params, last_hidden, sub, self.sampling
@@ -128,8 +155,6 @@ class ContinuousEngine:
         self.cache = self._insert(
             self.cache, staged, jnp.asarray(slot, jnp.int32)
         )
-        rid = self._next_id
-        self._next_id += 1
         self.slots[slot] = _Slot(
             request_id=rid,
             prompt_tokens=true_len,
@@ -139,6 +164,19 @@ class ContinuousEngine:
         )
         self.lengths[slot] = true_len
         self.cur_tokens[slot] = int(token[0])
+        self._admission = None
+        return rid
+
+    def add_request(
+        self,
+        input_ids,
+        images=None,
+        image_indices=None,
+    ) -> int:
+        """Prefill a request into a free slot in one go; returns the id."""
+        rid = self.start_admission(input_ids, images, image_indices)
+        while self.admission_step() is None:
+            pass
         return rid
 
     def step(self) -> list[tuple[int, GenerationResult]]:

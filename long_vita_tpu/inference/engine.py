@@ -46,6 +46,28 @@ class GenerationResult:
     logprobs: Optional[list[float]] = None
 
 
+@dataclasses.dataclass
+class PrefillJob:
+    """Incremental prefill state: one chunk per prefill_step call.
+
+    Lets a scheduler interleave long-prompt admission with decode ticks
+    (inference/continuous.py) instead of blocking every in-flight request
+    for the whole prompt — a 128K admission is ~90 s·chip (PERF.md)."""
+
+    ids: jnp.ndarray  # [1, padded]
+    feats: Optional[jnp.ndarray]
+    indices: Optional[jnp.ndarray]
+    cache: KVCache
+    true_len: int
+    padded: int
+    start: int = 0
+    last_hidden: Optional[jnp.ndarray] = None
+
+    @property
+    def done(self) -> bool:
+        return self.start >= self.padded
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -293,13 +315,14 @@ class InferenceEngine:
 
     # ---- public API ------------------------------------------------------
 
-    def prefill(
+    def start_prefill(
         self,
         input_ids: Sequence[int],
         images: Optional[np.ndarray] = None,
         image_indices: Optional[np.ndarray] = None,
-    ) -> tuple[KVCache, jnp.ndarray, int]:
-        """-> (cache at true length, last-row hidden, true prompt length)."""
+    ) -> PrefillJob:
+        """Begin an incremental prefill; drive with prefill_step, then
+        finish_prefill. (prefill() wraps the three for one-shot callers.)"""
         true_len = len(input_ids)
         if true_len > self.max_seq_len:
             raise ValueError(
@@ -309,36 +332,47 @@ class InferenceEngine:
         padded = _round_up(true_len, self.chunk)
         ids = np.zeros((1, padded), np.int32)
         ids[0, :true_len] = input_ids
-        ids = jnp.asarray(ids)
-
         feats = indices = None
         if images is not None and images.shape[0] > 0:
             feats = self._encode_images(
                 self.params, jnp.asarray(images, self.cache_dtype)
             )
             indices = jnp.asarray(image_indices)
-
         cache = self._make_cache(
             batch=1, max_len=_round_up(self.max_seq_len, self.chunk)
         )
-        last_hidden = None
-        for start in range(0, padded, self.chunk):
-            chunk_embeds = self._embed_chunk(
-                self.params, ids[:, start : start + self.chunk],
-                feats, indices, jnp.asarray(start, jnp.int32),
-            )
-            last_hidden, cache = self._prefill_chunk(
-                self.params, chunk_embeds, start, cache
-            )
+        return PrefillJob(
+            ids=jnp.asarray(ids), feats=feats, indices=indices,
+            cache=cache, true_len=true_len, padded=padded,
+        )
+
+    def prefill_step(self, job: PrefillJob) -> bool:
+        """Run ONE prompt chunk; returns True when all chunks are done."""
+        start = job.start
+        chunk_embeds = self._embed_chunk(
+            self.params, job.ids[:, start : start + self.chunk],
+            job.feats, job.indices, jnp.asarray(start, jnp.int32),
+        )
+        job.last_hidden, job.cache = self._prefill_chunk(
+            self.params, chunk_embeds, start, job.cache
+        )
+        job.start = start + self.chunk
+        return job.done
+
+    def finish_prefill(
+        self, job: PrefillJob
+    ) -> tuple[KVCache, jnp.ndarray, int]:
+        """-> (cache at true length, last-row hidden, true prompt length)."""
+        assert job.done, "prefill_step until done before finish_prefill"
+        true_len, cache, last_hidden = job.true_len, job.cache, job.last_hidden
         # padded tail slots hold garbage kv; shrink the cache to truth so
         # decode masks them and overwrites them one position at a time.
         cache = KVCache(
             cache.k, cache.v, jnp.asarray(true_len, jnp.int32),
             k_scale=cache.k_scale, v_scale=cache.v_scale,
         )
-
         # logits row for the true last prompt token
-        if padded != true_len:
+        if job.padded != true_len:
             # recompute the last row exactly: decode-style pass of the final
             # real token against the cache shrunk to exclude it
             cache_minus = KVCache(
@@ -347,11 +381,23 @@ class InferenceEngine:
             )
             # (the chat template always ends with a text token, so no
             # image-feature merge is needed for this single row)
-            tok = ids[:, true_len - 1 : true_len]
+            tok = job.ids[:, true_len - 1 : true_len]
             last_hidden, cache = self._last_row(
                 self.params, tok, jnp.full((1, 1), true_len - 1), cache_minus
             )
         return cache, last_hidden, true_len
+
+    def prefill(
+        self,
+        input_ids: Sequence[int],
+        images: Optional[np.ndarray] = None,
+        image_indices: Optional[np.ndarray] = None,
+    ) -> tuple[KVCache, jnp.ndarray, int]:
+        """-> (cache at true length, last-row hidden, true prompt length)."""
+        job = self.start_prefill(input_ids, images, image_indices)
+        while not job.done:
+            self.prefill_step(job)
+        return self.finish_prefill(job)
 
     def prefill_batch(
         self, batch_inputs: list[tuple]

@@ -357,37 +357,39 @@ class ContinuousBatcher:
     """Iteration-level scheduler: requests join a slot-pool decode at any
     tick boundary (inference/continuous.py) — no accumulation window, so a
     late arrival rides the pool immediately instead of waiting for the
-    current group to finish. Same submit() contract as RequestBatcher."""
+    current group to finish. Same submit() contract as RequestBatcher.
+
+    Admission is CHUNKED: each scheduler iteration runs at most ONE prompt
+    chunk of the pending admission before the next decode tick, so a long
+    prompt joining the pool bounds every in-flight request's inter-token
+    gap at ~one chunk of prefill (a vLLM-style discipline; the reference
+    server blocks all requests for the whole generate)."""
 
     def __init__(
         self, engine: InferenceEngine, max_slots: int = 8, tick: int = 16,
         generate_lock: Optional[threading.Lock] = None,
+        start_thread: bool = True,
     ):
         from long_vita_tpu.inference.continuous import ContinuousEngine
 
         self.engine = engine
         self.generate_lock = generate_lock or threading.Lock()
         self._cv = threading.Condition()
-        self._queue: list[tuple] = []  # (key, req, box)
+        # one entry per ROW: (key, box, row_index, prompt, req)
+        self._queue: list[tuple] = []
         self._inflight: dict[int, tuple] = {}  # rid -> (box, row_index)
         self.ce = ContinuousEngine(
             engine, SamplingParams(), max_slots=max_slots, tick=tick
         )
         self._key = None
         self.batch_sizes: list[int] = []  # rows in flight per tick
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self.trace: list[str] = []  # scheduler actions: admit/chunk/tick
+        if start_thread:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
 
     def submit(self, req: dict) -> dict:
-        box: dict = {
-            "event": threading.Event(),
-            "rows": [None] * len(req["prompts"]),
-            "pending": len(req["prompts"]),
-            "req": req,
-        }
-        with self._cv:
-            self._queue.append((_sampling_key(req), req, box))
-            self._cv.notify()
+        box = self.submit_async(req)
         box["event"].wait()
         if "error" in box:
             raise box["error"]
@@ -397,16 +399,34 @@ class ContinuousBatcher:
             payload["logprobs"] = [r.logprobs for r in box["rows"]]
         return payload
 
-    def _admit_locked(self):
-        """Move queue entries into free slots (same sampling key only)."""
-        while self._queue and self.ce.free_slots:
-            key, req, box = self._queue[0]
-            if self.ce.active and key != self._key:
-                break  # drain the pool before switching sampling configs
-            if not self.ce.active and key != self._key:
+    def submit_async(self, req: dict) -> dict:
+        """Enqueue a request's rows; returns the result box (event-gated)."""
+        box: dict = {
+            "event": threading.Event(),
+            "rows": [None] * len(req["prompts"]),
+            "pending": len(req["prompts"]),
+            "req": req,
+        }
+        key = _sampling_key(req)
+        with self._cv:
+            for row, prompt in enumerate(req["prompts"]):
+                self._queue.append((key, box, row, prompt, req))
+            self._cv.notify()
+        return box
+
+    def _start_next_locked(self) -> bool:
+        """Begin the chunked admission of the next queued row, if any."""
+        while self._queue:
+            key, box, row, prompt, req = self._queue[0]
+            if self.ce.active or self.ce.admission_pending:
+                if key != self._key:
+                    return False  # drain before switching sampling configs
+            elif key != self._key:
                 sampling, _ = _parse_sampling(req, self.engine)
                 self.ce.set_sampling(sampling)
                 self._key = key
+            if self.ce.free_slots <= 0:
+                return False
             self._queue.pop(0)
             try:
                 images, videos = _request_media(req)
@@ -414,43 +434,67 @@ class ContinuousBatcher:
                     int(req["max_num_frame"])
                     if req.get("max_num_frame") else None
                 )
-                for row, prompt in enumerate(req["prompts"]):
-                    ids = self.engine.mm.encode_chat(
-                        [{"role": "user", "content": prompt}]
-                    )
-                    exp = self.engine.mm.expand(
-                        ids, images=images, videos=videos,
-                        max_num_frame=max_frames,
-                    )
-                    rid = self.ce.add_request(
-                        exp.input_ids, exp.images, exp.image_indices
-                    )
-                    self._inflight[rid] = (box, row)
+                ids = self.engine.mm.encode_chat(
+                    [{"role": "user", "content": prompt}]
+                )
+                exp = self.engine.mm.expand(
+                    ids, images=images, videos=videos,
+                    max_num_frame=max_frames,
+                )
+                rid = self.ce.start_admission(
+                    exp.input_ids, exp.images, exp.image_indices
+                )
+                self._inflight[rid] = (box, row)
+                self.trace.append("admit")
+                return True
             except Exception as exc:  # noqa: BLE001
+                # a bad row (corrupt image, over-long prompt) fails its own
+                # request, never its poolmates
                 box["error"] = exc
                 box["event"].set()
+                self._queue = [e for e in self._queue if e[1] is not box]
+        return False
+
+    def iteration(self) -> bool:
+        """One scheduler pass: at most one admission chunk, then one decode
+        tick. Returns whether any work was done (the loop's idle signal);
+        public for deterministic (threadless) tests."""
+        with self.generate_lock:
+            did = False
+            if self.ce.admission_pending:
+                self.ce.admission_step()  # ONE chunk
+                self.trace.append("chunk")
+                did = True
+            elif self._start_next_locked():
+                did = True
+            if self.ce.active:
+                finished = self.ce.step()
+                self.trace.append("tick")
+                self.batch_sizes.append(self.ce.active + len(finished))
+                did = True
+            else:
+                finished = []
+        for rid, result in finished:
+            entry = self._inflight.pop(rid, None)
+            if entry is None:
+                continue
+            box, row = entry
+            box["rows"][row] = result
+            box["pending"] -= 1
+            if box["pending"] == 0 and "error" not in box:
+                box["event"].set()
+        return did
 
     def _loop(self):
         while True:
             with self._cv:
-                while not self._queue and not self.ce.active:
+                while (
+                    not self._queue
+                    and not self.ce.active
+                    and not self.ce.admission_pending
+                ):
                     self._cv.wait()
-            with self.generate_lock:
-                self._admit_locked()
-                finished = self.ce.step() if self.ce.active else []
-                if self.ce.active or finished:
-                    self.batch_sizes.append(
-                        self.ce.active + len(finished)
-                    )
-            for rid, result in finished:
-                entry = self._inflight.pop(rid, None)
-                if entry is None:
-                    continue
-                box, row = entry
-                box["rows"][row] = result
-                box["pending"] -= 1
-                if box["pending"] == 0 and "error" not in box:
-                    box["event"].set()
+            self.iteration()
 
 
 def make_server(
