@@ -81,6 +81,7 @@ class InferenceEngine:
         cache_dtype=jnp.bfloat16,
         kv_quant: bool = False,
         mesh=None,
+        decode_segment: int = 64,
     ):
         """mesh: optional jax Mesh for multi-chip serving — params shard by
         the training rules (TP on heads/MLP/vocab), the KV cache shards its
@@ -93,6 +94,7 @@ class InferenceEngine:
         self.vision_chunk = vision_chunk
         self.cache_dtype = cache_dtype
         self.kv_quant = kv_quant
+        self.decode_segment = decode_segment
         self.eos_id = cfg.text.eos_token_id
         self.mesh = mesh
         self.parallel = None
@@ -126,10 +128,6 @@ class InferenceEngine:
         self._embed_chunk = jax.jit(self._embed_chunk_impl)
         self._decode_step = jax.jit(
             self._decode_step_impl, static_argnames=("sp",),
-            donate_argnums=(3,),
-        )
-        self._decode_scan = jax.jit(
-            self._decode_scan_impl, static_argnames=("sp", "n"),
             donate_argnums=(3,),
         )
         self._decode_scan_masked = jax.jit(
@@ -262,21 +260,6 @@ class InferenceEngine:
         next_token = sample(logits, rng, sp)
         return next_token, cache
 
-    def _decode_scan_impl(self, params, token, start_pos, cache, rng, sp, n):
-        """Generate n tokens in ONE compiled scan (no per-token dispatch).
-
-        Batched: token [B, 1], start_pos [B] (per-row positions — ragged
-        prompts decode together, each row writing at its own cache
-        frontier). Past-EOS steps still run but their outputs are masked to
-        eos — the host trims at the first eos. (The reference's loop
-        early-stops via a broadcast, generation.py:255-258; a fused scan is
-        faster on TPU.)
-        """
-        return self._decode_scan_masked_impl(
-            params, token, start_pos, cache, rng, sp, n,
-            jnp.zeros((token.shape[0],), bool),
-        )
-
     def _decode_scan_masked_impl(
         self, params, token, start_pos, cache, rng, sp, n, done0
     ):
@@ -312,6 +295,45 @@ class InferenceEngine:
             body, (token, cache, rng, done0), jnp.arange(n)
         )
         return tokens.T, logprobs.T, cache, done  # [B, n]
+
+    def _decode_run(
+        self, token, start_pos, cache, rng, sp, budget, done0
+    ):
+        """Decode up to `budget` tokens in fixed-size SEGMENTS with a host
+        early-stop check between segments.
+
+        Two serving problems this solves at once (VERDICT #9):
+          - compile-cache hygiene: the one-shot scan compiled a fresh
+            program per distinct budget (every prompt-length/max-tokens
+            pair); segments compile at most log2(decode_segment)+1 scan
+            lengths total;
+          - early stop: the one-shot scan always ran the full budget even
+            when every row hit eos at step 3 (the reference's loop
+            early-stops via a broadcast, generation.py:255-258) — now at
+            most decode_segment-1 wasted steps.
+        -> (tokens [B, <=budget], logprobs, cache, done).
+        """
+        tok_parts, lp_parts = [], []
+        done = done0
+        remaining = budget
+        while remaining > 0:
+            n = self.decode_segment
+            while n // 2 >= remaining:  # small budgets: pow2 buckets
+                n //= 2
+            rng, sub = jax.random.split(rng)
+            toks, lps, cache, done = self._decode_scan_masked(
+                self.params, token, start_pos, cache, sub, sp, n, done
+            )
+            tok_parts.append(np.asarray(toks))
+            lp_parts.append(np.asarray(lps))
+            token = toks[:, -1:]
+            start_pos = start_pos + n
+            remaining -= n
+            if bool(np.asarray(done).all()):
+                break
+        tokens = np.concatenate(tok_parts, axis=1)[:, :budget]
+        lps = np.concatenate(lp_parts, axis=1)[:, :budget]
+        return tokens, lps, cache, done
 
     # ---- public API ------------------------------------------------------
 
@@ -519,18 +541,17 @@ class InferenceEngine:
             sampling.max_new_tokens - 1,
             self.max_seq_len - 1 - int(lengths.min()),
         )
-        if budget > 0:
+        stop_set = {self.eos_id, *sampling.stop_token_ids}
+        done0 = jnp.asarray([int(t) in stop_set for t in first])
+        if budget > 0 and not bool(done0.all()):
             rng, sub = jax.random.split(rng)
-            tokens, lps, cache, _ = self._decode_scan(
-                self.params, jnp.asarray(first[:, None]),
-                jnp.asarray(lengths), cache, sub, sampling, budget,
+            tokens, lps, cache, _ = self._decode_run(
+                jnp.asarray(first[:, None]), jnp.asarray(lengths),
+                cache, sub, sampling, budget, done0,
             )
-            tokens, lps = np.asarray(tokens), np.asarray(lps)
             for b in range(bsz):
                 rows[b] += [int(t) for t in tokens[b]]
                 row_lps[b] += [float(x) for x in lps[b]]
-
-        stop_set = {self.eos_id, *sampling.stop_token_ids}
         results = []
         for b in range(bsz):
             toks, lps_b = rows[b], row_lps[b]
@@ -579,16 +600,15 @@ class InferenceEngine:
             sampling.max_new_tokens - 1, self.max_seq_len - 1 - pos
         )
         logprobs: list[float] = [float(first_lp[0])]
-        if out_tokens[-1] != self.eos_id and budget > 0:
+        stop_set = {self.eos_id, *sampling.stop_token_ids}
+        if out_tokens[-1] not in stop_set and budget > 0:
             rng, sub = jax.random.split(rng)
-            tokens, lps, cache, _ = self._decode_scan(
-                self.params, token, jnp.full((1,), pos, jnp.int32), cache,
-                sub, sampling, budget,
+            tokens, lps, cache, _ = self._decode_run(
+                token, jnp.full((1,), pos, jnp.int32), cache,
+                sub, sampling, budget, jnp.zeros((1,), bool),
             )
             out_tokens += [int(t) for t in np.asarray(tokens[0])]
             logprobs += [float(x) for x in np.asarray(lps[0])]
-
-        stop_set = {self.eos_id, *sampling.stop_token_ids}
         for idx, t in enumerate(out_tokens):
             if t in stop_set:
                 out_tokens = out_tokens[:idx]

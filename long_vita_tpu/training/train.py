@@ -46,6 +46,7 @@ def build_from_recipe(recipe: dict):
         seq_len=data_cfg.get("seq_len", 16384),
         logit_budget=data_cfg.get("logit_budget", 4096),
         global_batch=run.get("global_batch", 1),
+        micro_batch=run.get("micro_batch", 0),
         steps=run.get("steps", 100),
         log_interval=run.get("log_interval", 1),
         save_interval=run.get("save_interval", 0),

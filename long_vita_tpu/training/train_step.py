@@ -137,6 +137,75 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_grad_accum_steps(
+    cfg: LongVITAConfig,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    *,
+    use_ring: bool = False,
+    cp_algo: str = "ring",
+    cp_inner: int = 1,
+    cp_window: int = 0,
+    remat: bool = True,
+    vision_chunk: int = 0,
+):
+    """Gradient accumulation: (grad_fn, apply_fn) for GBS > micro-batch.
+
+    The reference's stage-4 recipe is GBS 8 at micro-batch 1 via Megatron's
+    accumulation loop (stage4.sh:131-137) — one fused step over 8 x 1M-token
+    rows would hold 8x the activations. grad_fn computes one micro-batch's
+    grads (f32 accumulation buffer, the Megatron main-grad convention);
+    apply_fn applies the mean of the accumulated grads. Loss semantics:
+    mean of per-micro-batch mean losses, matching the reference's
+    loss/num_micro reduction (pretrain_long_vita.py:831-838)."""
+    pp = mesh.shape.get("pp", 1) if mesh is not None else 1
+    parallel = (
+        ParallelConfig(
+            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window
+        )
+        if (mesh is not None and (use_ring or pp > 1)) else None
+    )
+
+    def grad_fn_impl(params, batch):
+        if mesh is not None:
+            batch = dict(batch)
+            for key in ("tokens", "positions", "segment_ids"):
+                if batch.get(key) is not None:
+                    batch[key] = jax.lax.with_sharding_constraint(
+                        batch[key],
+                        NamedSharding(mesh, P(AXIS_DP, AXIS_CP)),
+                    )
+        (loss, count), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, cfg, parallel, remat, vision_chunk)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        return grads, loss, count
+
+    def accum_fn_impl(acc, grads):
+        return jax.tree.map(jnp.add, acc, grads)
+
+    def apply_fn_impl(state, grads, loss_sum, count_sum, n_micro):
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        updates, new_opt = tx.update(
+            jax.tree.map(
+                lambda g, p: g.astype(p.dtype), grads, state.params
+            ),
+            state.opt_state, state.params,
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss_sum / n_micro,
+            "tokens": count_sum,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    grad_fn = jax.jit(grad_fn_impl)
+    accum_fn = jax.jit(accum_fn_impl, donate_argnums=(0,))
+    apply_fn = jax.jit(apply_fn_impl, donate_argnums=(0, 1))
+    return grad_fn, accum_fn, apply_fn
+
+
 def init_train_state(
     params: Params, tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None, fsdp: bool = False,

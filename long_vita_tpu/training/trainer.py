@@ -52,6 +52,9 @@ class TrainerConfig:
     seq_len: int = 16384
     logit_budget: int = 4096
     global_batch: int = 1
+    micro_batch: int = 0  # rows per device step; 0 = global_batch (no
+    # accumulation). GBS 8 @ mbs 1 (stage-4) runs 8 accumulation
+    # micro-steps per optimizer step, like the reference's Megatron loop.
     steps: int = 100
     log_interval: int = 1
     save_interval: int = 0
@@ -146,8 +149,15 @@ class Trainer:
                 logger.info("resuming from %s step %d", tcfg.save_dir, step)
                 self.state = load_checkpoint(tcfg.save_dir, self.state)
                 self.start_step = step
-        self.step_fn = make_train_step(
-            cfg, self.tx, self.mesh,
+        self.accum = 1
+        if tcfg.micro_batch and tcfg.micro_batch < tcfg.global_batch:
+            if tcfg.global_batch % tcfg.micro_batch:
+                raise ValueError(
+                    f"global_batch {tcfg.global_batch} % micro_batch "
+                    f"{tcfg.micro_batch} != 0"
+                )
+            self.accum = tcfg.global_batch // tcfg.micro_batch
+        step_kw = dict(
             use_ring=tcfg.mesh.cp > 1 or tcfg.mesh.pp > 1,
             cp_algo=tcfg.cp_algo,
             cp_inner=tcfg.cp_inner,
@@ -155,6 +165,19 @@ class Trainer:
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
         )
+        if self.accum > 1:
+            from long_vita_tpu.training.train_step import (
+                make_grad_accum_steps,
+            )
+
+            self.grad_fn, self.accum_fn, self.apply_fn = (
+                make_grad_accum_steps(cfg, self.tx, self.mesh, **step_kw)
+            )
+            self.step_fn = None
+        else:
+            self.step_fn = make_train_step(
+                cfg, self.tx, self.mesh, **step_kw
+            )
 
     def evaluate(self, batches: Iterator[dict], max_steps: int = 0) -> dict:
         """Mean loss over a validation stream (reference valid datasets)."""
@@ -201,16 +224,8 @@ class Trainer:
                 profiler = Profiler(tcfg.output_dir, *tcfg.profile_steps)
         first_batch_dumped = False
         t_last = time.time()
-        for step, batch in enumerate(batches, start=self.start_step):
-            if step >= tcfg.steps:
-                break
-            if profiler:
-                profiler.step(step)
-            if not first_batch_dumped and tcfg.output_dir and tokenizer:
-                from long_vita_tpu.data.observability import dump_first_batch
 
-                dump_first_batch(tcfg.output_dir, batch, tokenizer)
-                first_batch_dumped = True
+        def device_batch(batch):
             if jax.process_count() > 1 and self.mesh is not None:
                 # multi-controller: this host's dp rows -> global arrays
                 # (the reference's TP-rank-0 read + broadcast analogue,
@@ -219,15 +234,52 @@ class Trainer:
                     make_global_batch,
                 )
 
-                batch = make_global_batch(
-                    batch, self.mesh, tcfg.global_batch, tcfg.seq_len
+                rows = tcfg.micro_batch or tcfg.global_batch
+                return make_global_batch(
+                    batch, self.mesh, rows, tcfg.seq_len
+                )
+            return {
+                k: (jnp.asarray(v) if v is not None else None)
+                for k, v in batch.items()
+            }
+
+        batches = iter(batches)
+        for step in range(self.start_step, tcfg.steps):
+            micros = []
+            for _ in range(self.accum):
+                nxt = next(batches, None)
+                if nxt is None:
+                    break
+                micros.append(nxt)
+            if len(micros) < self.accum:
+                break  # stream exhausted mid-accumulation window
+            if profiler:
+                profiler.step(step)
+            if not first_batch_dumped and tcfg.output_dir and tokenizer:
+                from long_vita_tpu.data.observability import dump_first_batch
+
+                dump_first_batch(tcfg.output_dir, micros[0], tokenizer)
+                first_batch_dumped = True
+            if self.accum == 1:
+                self.state, metrics = self.step_fn(
+                    self.state, device_batch(micros[0])
                 )
             else:
-                batch = {
-                    k: (jnp.asarray(v) if v is not None else None)
-                    for k, v in batch.items()
-                }
-            self.state, metrics = self.step_fn(self.state, batch)
+                grads = loss_sum = count_sum = None
+                for mb in micros:
+                    g, loss_mb, count_mb = self.grad_fn(
+                        self.state.params, device_batch(mb)
+                    )
+                    if grads is None:
+                        grads, loss_sum, count_sum = g, loss_mb, count_mb
+                    else:
+                        grads = self.accum_fn(grads, g)
+                        loss_sum = loss_sum + loss_mb
+                        count_sum = count_sum + count_mb
+                self.state, metrics = self.apply_fn(
+                    self.state, grads, loss_sum, count_sum,
+                    jnp.asarray(float(self.accum)),
+                )
             loss = float(metrics["loss"])
             if not np.isfinite(loss):  # reference NaN tripwire
                 raise FloatingPointError(f"non-finite loss at step {step}")
@@ -297,8 +349,9 @@ def make_data_pipeline(
     )
     from long_vita_tpu.data.prefetch import prefetch
 
+    rows = tcfg.micro_batch or tcfg.global_batch
     it = batch_iterator(
-        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp,
+        iter(packs), rows, tcfg.logit_budget, tcfg.mesh.cp,
         tcfg.cp_algo, tcfg.cp_inner,
         on_drop="warn" if tcfg.allow_logit_drop else "error",
     )
@@ -313,5 +366,5 @@ def make_data_pipeline(
         from long_vita_tpu.training.distributed import local_rows
 
         mesh = make_mesh(tcfg.mesh)
-        it = (local_rows(b, mesh, tcfg.global_batch) for b in it)
+        it = (local_rows(b, mesh, rows) for b in it)
     return prefetch(it, depth=2)

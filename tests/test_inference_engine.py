@@ -417,7 +417,41 @@ def test_generate_batch_on_cp_mesh(engine):
         assert ra.token_ids == rb.token_ids
 
 
-def test_generate_batch_long_row_does_not_truncate_short_row(engine):
+def test_segmented_decode_early_stops(engine):
+    """Decode runs in fixed segments with a host early-stop between them
+    (VERDICT #9): a stop token hit in segment 1 must not burn the whole
+    budget, and segment boundaries must not change the output."""
+    sp0 = SamplingParams(greedy=True, max_new_tokens=30)
+    base = engine.generate([{"role": "user", "content": "hello"}], sampling=sp0)
+    assert len(base.token_ids) >= 5
+
+    seg = InferenceEngine(
+        engine.params, engine.cfg, engine.mm, max_seq_len=512, chunk=64,
+        cache_dtype=jnp.float32, decode_segment=4,
+    )
+    calls = []
+    orig = seg._decode_scan_masked
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    seg._decode_scan_masked = counting
+    stop = base.token_ids[3]
+    res = seg.generate(
+        [{"role": "user", "content": "hello"}],
+        sampling=SamplingParams(
+            greedy=True, max_new_tokens=30, stop_token_ids=(stop,)
+        ),
+    )
+    assert res.token_ids == base.token_ids[:3]
+    # without early stop this would be ceil(29/4) = 8 segment scans
+    assert len(calls) <= 2, calls
+
+    # and segmenting alone (segment=4 vs 64) must not change outputs
+    calls.clear()
+    res2 = seg.generate([{"role": "user", "content": "hello"}], sampling=sp0)
+    assert res2.token_ids == base.token_ids
     """A near-capacity prompt sharing the batch must not shrink its
     batchmates' budgets (review finding: budget was min'd by lengths.max)."""
     rng = np.random.default_rng(5)
