@@ -116,7 +116,7 @@ def main():
             logits, _ = long_vita_forward(
                 full, tokens, positions, cfg, images=images,
                 image_indices=image_indices, logit_positions=lp,
-                vision_chunk=16, remat=True,
+                vision_chunk=16, remat=True, freeze_vision=True,
             )
             s, c = cross_entropy(logits, labels)
             return s / jnp.maximum(c, 1.0)

@@ -77,7 +77,7 @@ class InferenceEngine:
         *,
         max_seq_len: int = 16384,
         chunk: int = 2048,
-        vision_chunk: int = 256,
+        vision_chunk: int = 64,
         cache_dtype=jnp.bfloat16,
         kv_quant: bool = False,
         mesh=None,
@@ -178,8 +178,10 @@ class InferenceEngine:
     # ---- jitted pieces --------------------------------------------------
 
     def _encode_images_impl(self, params, images):
+        # "short": the single-pass ViT attention kernel (forward-only)
         return encode_images(
-            params, images, self.cfg, chunk=self.vision_chunk
+            params, images, self.cfg, chunk=self.vision_chunk,
+            attn_impl="short",
         )
 
     def _embed_chunk_impl(self, params, ids_chunk, feats, indices, start):

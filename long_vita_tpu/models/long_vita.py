@@ -33,16 +33,21 @@ def encode_images(
     *,
     chunk: int = 0,
     remat: bool = False,
+    attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """[N_tiles, H, W, 3] -> [N_tiles, image_token_length, lm_hidden].
 
     `chunk` > 0 splits the tile batch through lax.map to bound ViT activation
     memory at 4k-frame scale (replacing the reference's 256-image chunked
-    forward, pretrain_long_vita.py:522-533).
+    forward, pretrain_long_vita.py:522-533). attn_impl "short" selects the
+    single-pass ViT attention kernel (forward-only surfaces).
     """
 
     def _encode(tiles):
-        feats = intern_vit(params["vision"], tiles, cfg.vision, remat=remat)
+        feats = intern_vit(
+            params["vision"], tiles, cfg.vision, remat=remat,
+            attn_impl=attn_impl,
+        )
         feats = feats[:, 1:, :]  # strip CLS (reference modeling_long_vita.py:97)
         return project_features(params["projector"], feats, cfg)
 
@@ -98,6 +103,7 @@ def long_vita_forward(
     remat: bool = False,
     parallel=None,
     return_aux: bool = False,
+    freeze_vision: bool = False,
 ):
     """Full VLM forward.
 
@@ -110,9 +116,18 @@ def long_vita_forward(
     """
     inputs_embeds = qwen2.embed_tokens(params["text"], input_ids)
     if images is not None:
+        # freeze_vision (stage-3/4): no gradient flows into the tower, so
+        # (a) stop_gradient skips the ENTIRE ViT backward — the reference
+        # wraps the frozen tower in torch.no_grad (pretrain_long_vita.py
+        # :485-491); our scale-0 optimizer freeze alone would still compute
+        # and discard the grads — and (b) the forward-only single-pass
+        # attention kernel applies.
         image_embeds = encode_images(
-            params, images, cfg, chunk=vision_chunk, remat=remat
+            params, images, cfg, chunk=vision_chunk, remat=remat,
+            attn_impl="short" if freeze_vision else attn_impl,
         )
+        if freeze_vision:
+            image_embeds = jax.lax.stop_gradient(image_embeds)
         inputs_embeds = merge_image_embeddings(
             inputs_embeds, image_embeds, image_indices
         )
@@ -131,13 +146,52 @@ def long_vita_forward(
     )
 
     if logit_positions is not None:
-        hidden = jnp.take_along_axis(
-            hidden, logit_positions[:, :, None], axis=1
-        )
+        if (
+            parallel is not None
+            and kv_cache is None
+            and parallel.mesh.shape.get(parallel.axis_cp, 1) > 1
+        ):
+            hidden = _cp_gather_rows(hidden, logit_positions, parallel)
+        else:
+            hidden = jnp.take_along_axis(
+                hidden, logit_positions[:, :, None], axis=1
+            )
     logits = qwen2.lm_head(params["text"], hidden)
     if return_aux:
         return logits, new_cache, aux
     return logits, new_cache
+
+
+def _cp_gather_rows(hidden, logit_positions, parallel):
+    """Budget-row gather from the cp-SHARDED hidden sequence.
+
+    A plain take_along_axis at traced positions makes GSPMD all-gather the
+    whole [B, S, H] hidden (671M elements / 1.34 GB bf16 at the stage-4
+    1M shape — AOT-verified, benchmarks/aot_fullscale.py). Inside
+    shard_map each cp rank contributes its local rows and the [B, M, H]
+    results psum — M=8192 rows (84 MB) instead of the full sequence."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(h, pos):
+        r = jax.lax.axis_index(parallel.axis_cp)
+        c = h.shape[1]
+        local = pos - r * c  # [B, M] position within this rank's shard
+        ok = jnp.logical_and(local >= 0, local < c)
+        idx = jnp.clip(local, 0, c - 1)
+        rows = jnp.take_along_axis(h, idx[:, :, None], axis=1)
+        rows = jnp.where(ok[:, :, None], rows, 0)
+        return jax.lax.psum(rows, parallel.axis_cp)
+
+    return jax.shard_map(
+        body,
+        mesh=parallel.mesh,
+        in_specs=(
+            P(parallel.axis_dp, parallel.axis_cp, None),
+            P(parallel.axis_dp, None),
+        ),
+        out_specs=P(parallel.axis_dp, None, None),
+        check_vma=False,
+    )(hidden, logit_positions)
 
 
 def init_long_vita_params(

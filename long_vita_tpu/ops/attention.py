@@ -203,8 +203,28 @@ def dot_product_attention(
     kv_valid_len: Optional[jnp.ndarray] = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Main attention entry point. Shapes as xla_attention."""
+    """Main attention entry point. Shapes as xla_attention.
+
+    impl "short": single-pass non-causal kernel for ViT-length sequences
+    — whole k/v resident in VMEM per (b, head) cell, ~1.5x the streaming
+    flash kernel's forward at the InternViT shape. Chosen EXPLICITLY by
+    forward-only surfaces (serving/eval image encode, frozen-ViT
+    training); trainable-ViT paths keep "flash", whose VJP saves padded
+    residuals and has the faster backward arrangement (measured:
+    benchmarks/train_step_mm.py stage2)."""
     if impl == "auto":
+        impl = _pick_impl(q, k, causal, kv_valid_len)
+    if impl == "short":
+        if (
+            _on_tpu()
+            and not causal
+            and q_segment_ids is None
+            and kv_valid_len is None
+            and q.shape[1] == k.shape[1] <= 2048
+        ):
+            from long_vita_tpu.ops.flash_attention import short_attention
+
+            return short_attention(q, k, v)
         impl = _pick_impl(q, k, causal, kv_valid_len)
     if impl == "flash":
         from long_vita_tpu.ops.flash_attention import flash_attention

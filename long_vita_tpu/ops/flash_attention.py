@@ -1126,6 +1126,174 @@ def _prepare(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
     return qp, kp, vp, segs
 
 
+def _short_nc_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, sm_scale
+):
+    """Single-pass non-causal attention for short sequences: the whole
+    k/v rides VMEM per (batch, head) cell, scores never touch HBM, and
+    softmax is one max/exp/sum pass (no online-accumulator bookkeeping).
+
+    VPU-work diet (the measured cost at the ViT shape is the per-score
+    VPU work, not the MXU matmuls — exp overlaps the MXU for free, the
+    reductions don't): the kv-length mask is an additive bias row
+    instead of an iota compare+select, and the softmax divide happens
+    AFTER the pv matmul on [BQ, Dp] rows instead of on the [BQ, Sp]
+    probability matrix. Measured 7.4 -> 5.0 ms at the 32-tile InternViT
+    shape vs the streaming flash kernel (benchmarks/vit_throughput.py);
+    the remaining gap to the 3.5 ms no-softmax floor is the max/sum
+    lane reductions."""
+    q = q_ref[0, 0]  # [BQ, Dp]
+    k = k_ref[0, 0]  # [Sp, Dp]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = s + bias_ref[0, 0]  # [1, Sp]: 0 on valid kv, NEG_INF on padding
+    m = jnp.max(s, axis=1, keepdims=True)
+    v = v_ref[0, 0]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+@jax.custom_vjp
+def short_attention(
+    q: jnp.ndarray,  # [B, S, Hq, D]
+    k: jnp.ndarray,  # [B, S, Hkv, D]
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Non-causal attention for SHORT sequences (the ViT's 1025 tokens),
+    differentiable: forward is the single-pass kernel; backward delegates
+    to the streaming flash kernels (fwd-for-lse + fused bwd), so the
+    trainable-ViT stages keep their Pallas backward while forward-only
+    regimes (frozen-ViT stage-3/4 training, serving, eval) get the
+    single-pass speedup."""
+    return _short_attention_impl(q, k, v)
+
+
+def _short_attention_fwd(q, k, v):
+    o, lse = _short_attention_impl(q, k, v, return_lse=True)
+    return o, (q, k, v, o, lse)
+
+
+def _short_attention_bwd(res, g):
+    """Backward via the streaming flash bwd kernels, fed the short
+    kernel's own (o, lse) — no forward recompute (the flash-attn-2
+    backward contract)."""
+    q, k, v, o, lse = res
+    b, s, hq, d = q.shape
+    s_pad = _round_up(s, 128)
+    d_pad = _round_up(d, _LANE)
+
+    def hm(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                (0, d_pad - x.shape[3])),
+        )
+
+    lse_p = jnp.pad(
+        lse, ((0, 0), (0, 0), (0, s_pad - s)), constant_values=2.0**30
+    )
+    zeros = jnp.asarray([0], jnp.int32)
+    res_core = (
+        hm(q), hm(k), hm(v), hm(o), lse_p,
+        zeros, zeros, jnp.asarray([s], jnp.int32), (None, None),
+    )
+    dq, dk, dv, *_ = _flash_core_bwd(
+        False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV, d, res_core, hm(g)
+    )
+    trim = lambda x, h: jnp.transpose(x, (0, 2, 1, 3))[:, :s, :h, :d]
+    hkv = k.shape[2]
+    if hq != hkv:  # GQA: fold group grads back onto the kv heads
+        group = hq // hkv
+        dk = dk.reshape(b, hkv, group, s_pad, d_pad).sum(2) if dk.shape[1] == hq else dk
+        dv = dv.reshape(b, hkv, group, s_pad, d_pad).sum(2) if dv.shape[1] == hq else dv
+    return trim(dq, hq), trim(dk, hkv), trim(dv, hkv)
+
+
+short_attention.defvjp(_short_attention_fwd, _short_attention_bwd)
+
+
+def _short_attention_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    block_q: int = 1152,
+    return_lse: bool = False,
+):
+    """Non-causal attention for SHORT sequences (the ViT's 1025 tokens).
+
+    The streaming flash kernel is mis-shaped here: its per-block online
+    accumulators and kv-grid bookkeeping dominate at S~1K (measured 19-22
+    TFLOP/s at the InternViT shape, benchmarks/vit_throughput.py). This
+    kernel holds the whole padded k/v in VMEM per (b, head) grid cell and
+    does one plain softmax.
+    """
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+    s_pad = _round_up(s, 128)
+    block_q = min(block_q, s_pad)
+    s_padq = _round_up(s, block_q)
+    d_pad = _round_up(d, _LANE)
+
+    def hm(x, pad_to):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, S, D]
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, pad_to - x.shape[2]),
+                (0, d_pad - x.shape[3])),
+        )
+
+    qp = hm(q, s_padq)
+    kp = hm(k, s_pad)
+    vp = hm(v, s_pad)
+    bias = jnp.where(
+        jnp.arange(s_pad) < s, 0.0, NEG_INF
+    ).astype(jnp.float32)[None, None, None, :]
+    n_q = s_padq // block_q
+
+    kernel = functools.partial(
+        _short_nc_kernel, sm_scale=1.0 / (d ** 0.5)
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b, hq, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b_, h, iq: (b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, s_pad, d_pad),
+                         lambda b_, h, iq: (b_, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad, d_pad),
+                         lambda b_, h, iq: (b_, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s_pad), lambda b_, h, iq: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b_, h, iq: (b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q, 1),
+                         lambda b_, h, iq: (b_, h, iq, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, hq, n_q, block_q, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qp, kp, vp, bias)
+    o = jnp.transpose(o, (0, 2, 1, 3))[:, :s, :, :d]
+    if return_lse:
+        return o, lse[..., 0].reshape(b, hq, s_padq)[:, :, :s]
+    return o
+
+
 def flash_attention_quant(
     q: jnp.ndarray,        # [B, Sq, Hq, D] bf16/f32
     k_q: jnp.ndarray,      # [B, Skv, Hkv, D] int8

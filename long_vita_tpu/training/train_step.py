@@ -54,6 +54,7 @@ def loss_fn(
     parallel: Optional[ParallelConfig],
     remat: bool,
     vision_chunk: int = 0,
+    freeze_vision: bool = False,
 ):
     logits, _, aux = long_vita_forward(
         params,
@@ -68,6 +69,7 @@ def loss_fn(
         remat=remat,
         parallel=parallel,
         return_aux=True,
+        freeze_vision=freeze_vision,
     )
     loss_sum, count = cross_entropy(logits, batch["labels"])
     loss = loss_sum / jnp.maximum(count, 1.0)
@@ -89,6 +91,7 @@ def make_train_step(
     cp_window: int = 0,
     remat: bool = True,
     vision_chunk: int = 0,
+    freeze_vision: bool = False,
 ):
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
@@ -124,7 +127,8 @@ def make_train_step(
                     )
         (loss, count), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, batch, cfg, parallel, remat, vision_chunk)
+        )(state.params, batch, cfg, parallel, remat, vision_chunk,
+          freeze_vision)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -148,6 +152,7 @@ def make_grad_accum_steps(
     cp_window: int = 0,
     remat: bool = True,
     vision_chunk: int = 0,
+    freeze_vision: bool = False,
 ):
     """Gradient accumulation: (grad_fn, apply_fn) for GBS > micro-batch.
 
@@ -177,7 +182,7 @@ def make_grad_accum_steps(
                     )
         (loss, count), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch, cfg, parallel, remat, vision_chunk)
+        )(params, batch, cfg, parallel, remat, vision_chunk, freeze_vision)
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         return grads, loss, count
 

@@ -62,7 +62,10 @@ class TrainerConfig:
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optim: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     remat: bool | str = True  # True/"full" | "dots" | False
-    vision_chunk: int = 256
+    vision_chunk: int = 64  # ViT tile batch: 64 is the v5e sweet spot
+    # (97 fps vs 84 at 128 — benchmarks/vit_throughput.py); the reference's
+    # 256-image chunking (pretrain_long_vita.py:522-533) is a memory bound,
+    # not a throughput optimum
     seed: int = 42
     cp_algo: str = "ring"  # "ring" | "ulysses" | "hybrid"
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
@@ -164,6 +167,7 @@ class Trainer:
             cp_window=tcfg.cp_window,
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
+            freeze_vision=tcfg.optim.freeze_vision,
         )
         if self.accum > 1:
             from long_vita_tpu.training.train_step import (

@@ -289,3 +289,46 @@ def test_flash_quant_matches_dequantized_reference():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_short_attention_matches_xla():
+    """Single-pass non-causal short-seq kernel (ViT path) vs XLA, at the
+    ragged 1025-token ViT shape (padding rows/lanes must not leak)."""
+    from long_vita_tpu.ops.flash_attention import short_attention
+
+    rng = np.random.default_rng(13)
+    q, k, v = _rand_qkv(rng, 2, 260, 260, 4, 4, 64)
+    got = short_attention(q, k, v)
+    want = xla_attention(q, k, v, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    # GQA grouping
+    q2, k2, v2 = _rand_qkv(rng, 1, 130, 130, 4, 2, 64)
+    got = short_attention(q2, k2, v2)
+    want = xla_attention(q2, k2, v2, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_short_attention_gradients():
+    """short_attention's custom VJP (flash-kernel backward) vs XLA."""
+    from long_vita_tpu.ops.flash_attention import short_attention
+
+    rng = np.random.default_rng(14)
+    q, k, v = _rand_qkv(rng, 1, 256, 256, 4, 2, 64)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+    gf = jax.grad(loss(short_attention), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(
+        loss(lambda q, k, v: xla_attention(q, k, v, causal=False)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
