@@ -105,11 +105,21 @@ def report(name, compiled, n_chips=64, topology=None):
             colls[op] = n
     print(f"  collectives: {colls}")
     # largest all-gather (the cache-gather pathology detector)
-    biggest = 0
-    for m in re.finditer(r"= \w+\[([0-9,]*)\][^=]* all-gather", txt):
+    biggest, big_line = 0, ""
+    for m in re.finditer(r"= \w+\[([0-9,]*)\][^\n]* all-gather[^\n]*", txt):
         dims = [int(x) for x in m.group(1).split(",") if x]
-        biggest = max(biggest, int(np.prod(dims)) if dims else 1)
+        numel = int(np.prod(dims)) if dims else 1
+        if numel > biggest:
+            biggest, big_line = numel, m.group(0)
     print(f"  largest all-gather result: {biggest:,} elements")
+    if biggest > 10_000_000:
+        meta = re.search(r'op_name="([^"]*)"', big_line)
+        print(f"    op: {meta.group(1) if meta else big_line[:200]}")
+    import os
+    if os.environ.get("AOT_DUMP_HLO"):
+        with open(os.environ["AOT_DUMP_HLO"], "w") as f:
+            f.write(txt)
+        print(f"  HLO dumped to {os.environ['AOT_DUMP_HLO']}")
     return args_plus_temp
 
 
@@ -236,6 +246,9 @@ def serve_case(quant: bool, chunk: int):
 
 
 if __name__ == "__main__":
+    from long_vita_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
                     choices=["train-text", "train-mm", "serve-1m",

@@ -178,10 +178,11 @@ class InferenceEngine:
     # ---- jitted pieces --------------------------------------------------
 
     def _encode_images_impl(self, params, images):
-        # "short": the single-pass ViT attention kernel (forward-only)
+        # "short": the single-pass ViT attention kernel (forward-only);
+        # on cp meshes tiles run batch-parallel over cp (encode_images)
         return encode_images(
             params, images, self.cfg, chunk=self.vision_chunk,
-            attn_impl="short",
+            attn_impl="short", parallel=self.parallel,
         )
 
     def _embed_chunk_impl(self, params, ids_chunk, feats, indices, start):

@@ -34,6 +34,7 @@ def encode_images(
     chunk: int = 0,
     remat: bool = False,
     attn_impl: str = "auto",
+    parallel=None,
 ) -> jnp.ndarray:
     """[N_tiles, H, W, 3] -> [N_tiles, image_token_length, lm_hidden].
 
@@ -41,31 +42,69 @@ def encode_images(
     memory at 4k-frame scale (replacing the reference's 256-image chunked
     forward, pretrain_long_vita.py:522-533). attn_impl "short" selects the
     single-pass ViT attention kernel (forward-only surfaces).
+
+    With `parallel` (a qwen2.ParallelConfig) and cp > 1, tiles run
+    BATCH-PARALLEL over the cp axis inside a shard_map — two reasons:
+    GSPMD cannot auto-partition Mosaic kernels (the 64-chip stage-4 AOT
+    fails to lower without this), and it gives the tower cp-fold
+    parallelism — the same degree (8) as the reference's TP-sharded ViT
+    (ckpt_converter_intern_vit.py), arranged the TPU way.
     """
 
-    def _encode(tiles):
-        feats = intern_vit(
-            params["vision"], tiles, cfg.vision, remat=remat,
-            attn_impl=attn_impl,
-        )
-        feats = feats[:, 1:, :]  # strip CLS (reference modeling_long_vita.py:97)
-        return project_features(params["projector"], feats, cfg)
+    def _encode_chunked(vision_p, projector_p, tiles):
+        def _encode(t):
+            feats = intern_vit(
+                vision_p, t, cfg.vision, remat=remat, attn_impl=attn_impl
+            )
+            # strip CLS (reference modeling_long_vita.py:97)
+            feats = feats[:, 1:, :]
+            return project_features(projector_p, feats, cfg)
+
+        n_local = tiles.shape[0]
+        if chunk and n_local > chunk:
+            pad = -n_local % chunk
+            if pad:
+                tiles = jnp.concatenate(
+                    [tiles,
+                     jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)],
+                    axis=0,
+                )
+            batched = tiles.reshape(
+                (n_local + pad) // chunk, chunk, *tiles.shape[1:]
+            )
+            out = jax.lax.map(_encode, batched)
+            return out.reshape(n_local + pad, out.shape[2], out.shape[3])[
+                :n_local
+            ]
+        return _encode(tiles)
 
     n = images.shape[0]
-    if chunk and n > chunk:
-        # pad the tile batch to a chunk multiple (a 61-tile prompt must not
-        # silently fall back to one unbounded ViT batch — that OOMs at
-        # 4k-frame scale); padded tiles are dropped after the map.
-        pad = -n % chunk
+    cpn = (
+        parallel.mesh.shape.get(parallel.axis_cp, 1)
+        if parallel is not None else 1
+    )
+    if cpn > 1:
+        from jax.sharding import PartitionSpec as P
+
+        pad = -n % cpn
         if pad:
             images = jnp.concatenate(
                 [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)],
                 axis=0,
             )
-        batched = images.reshape((n + pad) // chunk, chunk, *images.shape[1:])
-        out = jax.lax.map(_encode, batched)
-        return out.reshape(n + pad, out.shape[2], out.shape[3])[:n]
-    return _encode(images)
+        rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+        out = jax.shard_map(
+            lambda vp, pp_, tiles: _encode_chunked(vp, pp_, tiles),
+            mesh=parallel.mesh,
+            in_specs=(
+                rep(params["vision"]), rep(params["projector"]),
+                P(parallel.axis_cp),
+            ),
+            out_specs=P(parallel.axis_cp),
+            check_vma=False,
+        )(params["vision"], params["projector"], images)
+        return out[:n]
+    return _encode_chunked(params["vision"], params["projector"], images)
 
 
 def merge_image_embeddings(
@@ -121,10 +160,24 @@ def long_vita_forward(
         # wraps the frozen tower in torch.no_grad (pretrain_long_vita.py
         # :485-491); our scale-0 optimizer freeze alone would still compute
         # and discard the grads — and (b) the forward-only single-pass
-        # attention kernel applies.
+        # attention kernel + cp tile-sharding apply.
+        cpn = (
+            parallel.mesh.shape.get(parallel.axis_cp, 1)
+            if parallel is not None else 1
+        )
+        if freeze_vision:
+            vit_impl, vit_parallel = "short", parallel
+        elif cpn > 1:
+            # trainable ViT on a cp mesh (not a reference recipe): the
+            # tile shard_map's backward would need manual psums for the
+            # replicated params, and GSPMD cannot auto-partition Mosaic
+            # kernels — take the XLA (auto-partitionable) path
+            vit_impl, vit_parallel = "xla", None
+        else:
+            vit_impl, vit_parallel = attn_impl, None
         image_embeds = encode_images(
             params, images, cfg, chunk=vision_chunk, remat=remat,
-            attn_impl="short" if freeze_vision else attn_impl,
+            attn_impl=vit_impl, parallel=vit_parallel,
         )
         if freeze_vision:
             image_embeds = jax.lax.stop_gradient(image_embeds)

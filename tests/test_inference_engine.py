@@ -417,6 +417,29 @@ def test_generate_batch_on_cp_mesh(engine):
         assert ra.token_ids == rb.token_ids
 
 
+@pytest.mark.slow
+def test_cp_mesh_generate_with_image(engine):
+    """Multimodal serving on a cp mesh: tiles run batch-parallel over cp
+    inside encode_images' shard_map (GSPMD cannot auto-partition Mosaic
+    kernels — found by the 64-chip stage-4 AOT compile); results must
+    match the unsharded engine."""
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=1, cp=2, tp=2), devices=jax.devices()[:4])
+    sharded = InferenceEngine(
+        jax.tree.map(lambda x: np.asarray(x), engine.params),
+        engine.cfg, engine.mm, max_seq_len=512, chunk=128,
+        cache_dtype=jnp.float32, mesh=mesh,
+    )
+    msgs = [{"role": "user", "content": "<image>\nwhat is this?"}]
+    img = [Image.new("RGB", (64, 64), (0, 128, 255))]
+    sp = SamplingParams(greedy=True, max_new_tokens=5)
+    a = engine.generate(msgs, images=img, sampling=sp)
+    b = sharded.generate(msgs, images=img, sampling=sp)
+    assert a.prompt_tokens == b.prompt_tokens
+    assert a.token_ids == b.token_ids
+
+
 def test_segmented_decode_early_stops(engine):
     """Decode runs in fixed segments with a host early-stop between them
     (VERDICT #9): a stop token hit in segment 1 must not burn the whole
