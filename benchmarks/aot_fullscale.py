@@ -179,7 +179,8 @@ def train_case(frames: int):
             (2, frames, t), jnp.int32, sharding=rep
         )
     step = make_train_step(
-        cfg, tx, mesh, use_ring=True, remat=True, vision_chunk=256
+        cfg, tx, mesh, use_ring=True, remat=True, vision_chunk=256,
+        freeze_vision=True,  # stage-4 trains with the tower frozen
     )
     name = f"stage4 train step seq=1M mbs=1 cp8xtp8 remat=full frames={frames}"
     print(f"lowering {name} ...", flush=True)
