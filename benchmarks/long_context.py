@@ -198,8 +198,14 @@ def main():
             rng.standard_normal((1, args.seq, cfg.hidden_size)) * 0.02,
             jnp.bfloat16,
         )
+    # cache slots align to the quant-flash kv block (1024): a misaligned
+    # slot count makes the kernel's pad materialize padded COPIES of the
+    # whole int8 k AND v caches (2 x 1.0 GB HLO temps at 1M — the "worker
+    # crash" of PERF.md round 2 was this pushing buffer assignment 180 MB
+    # over HBM)
+    slots = -(-(args.seq + 256) // 1024) * 1024
     cache = KVCache.zeros(
-        cfg, 1, args.seq + 256, jnp.bfloat16, quantize=args.kv_quant
+        cfg, 1, slots, jnp.bfloat16, quantize=args.kv_quant
     )
 
     t0 = time.time()
@@ -209,7 +215,7 @@ def main():
     log(f"prefill compile+first: {t_compile:.1f}s")
 
     cache = KVCache.zeros(
-        cfg, 1, args.seq + 256, jnp.bfloat16, quantize=args.kv_quant
+        cfg, 1, slots, jnp.bfloat16, quantize=args.kv_quant
     )
     t0 = time.time()
     cache2, s = prefill_all(params, embeds, cache)

@@ -50,6 +50,7 @@ class ParallelConfig:
     cp_window: int = 0  # double-ring: ranks per inner window (0 = plain)
     axis_pp: str = "pp"
     microbatches: int = 0  # pipeline microbatches (0 -> pp size)
+    virtual_pp: int = 1  # interleaved pipeline chunks per stage (1 = GPipe)
 
     @property
     def pp_size(self) -> int:
@@ -660,13 +661,26 @@ def _pipelined_decoder(
     travel the ring with the activations. Composes with TP via
     partial-manual shard_map (other mesh axes stay GSPMD-auto).
 
+    With `parallel.virtual_pp = v > 1` the stack runs the INTERLEAVED
+    schedule instead (Megatron core's virtual-pipeline equivalent,
+    SURVEY.md §2b): v layer chunks per stage laid round-robin over the pp
+    ring, shrinking the bubble to (pp-1)/v microbatch-times. The layer
+    stack is permuted chunk-major at trace time (interleave_permutation)
+    so each stage's P(pp) shard holds its v chunks contiguously — one
+    static weight-permute collective per step, O(params/pp) ICI bytes
+    (~2.2 GB/chip bf16 for 72B tp8pp8, tens of ms vs multi-second steps;
+    a production trainer could pre-permute storage instead).
+
     Constraint: CP and PP are mutually exclusive (the 72B TP8/PP8 recipes
     run cp=1)."""
     from jax.sharding import PartitionSpec as P
 
-    from long_vita_tpu.parallel.pipeline import pipeline_apply
+    from long_vita_tpu.parallel.pipeline import (
+        interleave_permutation, pipeline_apply, pipeline_apply_interleaved,
+    )
 
     pp = parallel.pp_size
+    v = max(parallel.virtual_pp, 1)
     m = parallel.microbatches or pp
     b = inputs_embeds.shape[0]
     assert b % m == 0, f"batch {b} not divisible by microbatches {m}"
@@ -698,10 +712,24 @@ def _pipelined_decoder(
         (x, aux), _ = jax.lax.scan(layer_body, (t["x"], t["aux"]), stage_layers)
         return {**t, "x": x, "aux": aux}
 
+    if v > 1:
+        n_layers = cfg.num_hidden_layers
+        assert n_layers % (pp * v) == 0, (
+            f"layers {n_layers} % (pp {pp} * virtual_pp {v}) != 0"
+        )
+        perm = jnp.asarray(interleave_permutation(n_layers, pp, v))
+        layers = jax.tree.map(lambda x: jnp.take(x, perm, axis=0), layers)
+        apply = lambda ls, mb_: pipeline_apply_interleaved(
+            ls, mb_, stage_body, parallel.axis_pp, virtual=v
+        )
+    else:
+        apply = lambda ls, mb_: pipeline_apply(
+            ls, mb_, stage_body, parallel.axis_pp
+        )
     layer_specs = jax.tree.map(lambda _: P(parallel.axis_pp), layers)
     mb_specs = jax.tree.map(lambda _: P(), mb)
     fn = jax.shard_map(
-        lambda ls, mb_: pipeline_apply(ls, mb_, stage_body, parallel.axis_pp),
+        apply,
         mesh=parallel.mesh,
         in_specs=(layer_specs, mb_specs),
         out_specs=mb_specs,

@@ -70,7 +70,9 @@ def make_mesh(
     return Mesh(arr, AXES)
 
 
-def validate_geometry(text_cfg, mesh_cfg: MeshConfig, seq_len: int = 0):
+def validate_geometry(
+    text_cfg, mesh_cfg: MeshConfig, seq_len: int = 0, virtual_pp: int = 1
+):
     """Fail fast when a model geometry cannot shard over a mesh.
 
     The reference validates these per-flag in arguments.py (_validate_cp_args
@@ -94,9 +96,10 @@ def validate_geometry(text_cfg, mesh_cfg: MeshConfig, seq_len: int = 0):
         errs.append(
             f"intermediate {text_cfg.intermediate_size} % tp {tp} != 0"
         )
-    if text_cfg.num_hidden_layers % pp:
+    if text_cfg.num_hidden_layers % (pp * max(virtual_pp, 1)):
         errs.append(
-            f"layers {text_cfg.num_hidden_layers} % pp {pp} != 0"
+            f"layers {text_cfg.num_hidden_layers} % (pp {pp} * virtual_pp "
+            f"{virtual_pp}) != 0"
         )
     if pp > 1 and cp > 1:
         errs.append("pp and cp are mutually exclusive (pipeline runs cp=1)")

@@ -107,6 +107,140 @@ def pipeline_apply(
     )
 
 
+def _shift_ring(tree, axis_name: str, pp: int):
+    """Send to stage (s+1) % pp — the interleaved schedule wraps around
+    (chunk c's output on the last stage feeds chunk c+1 on stage 0)."""
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+    return jax.tree.map(
+        lambda x: jax.lax.ppermute(x, axis_name, perm), tree
+    )
+
+
+def pipeline_apply_interleaved(
+    stage_params: Params,
+    microbatches: Any,  # pytree, every leaf [M, ...]
+    body_fn: Callable[[Params, Any], Any],
+    axis_name: str = "pp",
+    virtual: int = 2,
+) -> Any:
+    """Interleaved (virtual-chunk) pipeline: the reference gets this from
+    Megatron core's interleaved 1F1B schedule (SURVEY.md §2b,
+    --num-layers-per-virtual-pipeline-stage); this is the TPU-native
+    equivalent for the forward pass, with autodiff providing the
+    (equally interleaved, time-reversed) backward schedule.
+
+    Each device holds `virtual` chunks of layers laid ROUND-ROBIN over the
+    pp ring: virtual stage j = c*pp + d (chunk c, device d) holds global
+    layers [j*Lv, (j+1)*Lv). `stage_params` must arrive CHUNK-MAJOR per
+    device (rows [c*Lv, (c+1)*Lv) = chunk c) — qwen2._pipelined_decoder
+    permutes the stacked layer dim accordingly.
+
+    Lockstep schedule: at tick T, device d serves unit u = T - d with
+        m = (u // (pp*v))*pp + u % pp      (microbatch)
+        c = (u % (pp*v)) // pp             (local chunk)
+    Consecutive virtual stages land exactly one tick and one ring hop
+    apart (T(m, j+1) = T(m, j) + 1, device j%pp -> (j+1)%pp), so the
+    incoming ppermute value IS the activation a device consumes next tick
+    — no reorder buffers. Fresh microbatches ingest at (d=0, c=0);
+    finished ones emit at (d=pp-1, c=v-1). M microbatches drain in
+    M*v + pp - 1 ticks of 1/v-size work each: the bubble is
+    (pp-1)/v microbatch-times vs GPipe's (pp-1) — the same bubble
+    shrink Megatron's interleaved schedule buys, without 1F1B's
+    depth-first memory bookkeeping (XLA remat owns activation memory).
+
+    Requires M % pp == 0 (Megatron's own interleaving constraint) so the
+    round-robin stays dense.
+    """
+    pp = jax.lax.axis_size(axis_name)
+    stage = jax.lax.axis_index(axis_name)
+    leaves = jax.tree.leaves(microbatches)
+    m = leaves[0].shape[0]
+    assert m % pp == 0, (
+        f"interleaved pipeline needs microbatches ({m}) % pp == 0"
+    )
+    l_local = jax.tree.leaves(stage_params)[0].shape[0]
+    assert l_local % virtual == 0
+    l_chunk = l_local // virtual
+    u_last = ((m - 1) // pp) * pp * virtual + (virtual - 1) * pp \
+        + (m - 1) % pp
+    steps = u_last + pp  # + (pp-1) warmup skew + 1
+
+    def _pvary(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x
+        except Exception:
+            return x
+        return jax.lax.pvary(x, axis_name)
+
+    ring = jax.tree.map(
+        lambda x: _pvary(jnp.zeros(x.shape[1:], x.dtype)), microbatches
+    )
+    outputs = jax.tree.map(lambda x: _pvary(jnp.zeros_like(x)), microbatches)
+
+    def step_fn(carry, t):
+        ring, outputs = carry
+        u = t - stage
+        mb_idx = (u // (pp * virtual)) * pp + u % pp  # < 0 for u < 0
+        c_idx = (u % (pp * virtual)) // pp  # in [0, v) even for u < 0
+        valid = jnp.logical_and(mb_idx >= 0, mb_idx < m)
+        mb_cl = jnp.clip(mb_idx, 0, m - 1)
+
+        ingest = jnp.logical_and(
+            valid, jnp.logical_and(stage == 0, c_idx == 0)
+        )
+        x_in = jax.tree.map(
+            lambda mb, r: jnp.where(ingest, mb[mb_cl], r),
+            microbatches, ring,
+        )
+        chunk_params = jax.tree.map(
+            lambda p: jax.lax.dynamic_slice_in_dim(
+                p, c_idx * l_chunk, l_chunk, axis=0
+            ),
+            stage_params,
+        )
+        y = body_fn(chunk_params, x_in)
+
+        emit = jnp.logical_and(
+            valid,
+            jnp.logical_and(stage == pp - 1, c_idx == virtual - 1),
+        )
+        outputs = jax.tree.map(
+            lambda out, yy: jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(emit, yy, out[mb_cl]), mb_cl, axis=0
+            ),
+            outputs, y,
+        )
+        ring = _shift_ring(y, axis_name, pp)
+        return (ring, outputs), None
+
+    (_, outputs), _ = jax.lax.scan(
+        step_fn, (ring, outputs), jnp.arange(steps)
+    )
+    return jax.tree.map(
+        lambda out: jax.lax.psum(
+            jnp.where(stage == pp - 1, out, jnp.zeros_like(out)), axis_name
+        ),
+        outputs,
+    )
+
+
+def interleave_permutation(n_layers: int, pp: int, virtual: int):
+    """Storage permutation for the interleaved schedule: perm[n] is the
+    GLOBAL layer index stored at position n, where positions
+    [d*(L/pp) + c*Lv + i] hold device d's chunk c (virtual stage c*pp+d,
+    global layers [(c*pp+d)*Lv + i]). jnp.take(layers, perm, 0) lays a
+    globally-stacked [L, ...] pytree out chunk-major for a P("pp") shard."""
+    assert n_layers % (pp * virtual) == 0
+    l_v = n_layers // (pp * virtual)
+    perm = []
+    for d in range(pp):
+        for c in range(virtual):
+            base = (c * pp + d) * l_v
+            perm.extend(range(base, base + l_v))
+    return perm
+
+
 def split_stages(layer_params: Params, pp: int) -> Params:
     """Host-side: check the stacked layer dim divides into pp stages."""
     leaves = jax.tree.leaves(layer_params)

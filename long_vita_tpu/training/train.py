@@ -59,6 +59,7 @@ def build_from_recipe(recipe: dict):
         cp_algo=run.get("cp_algo", "ring"),
         cp_inner=run.get("cp_inner", 1),
         cp_window=run.get("cp_window_size", 0),
+        virtual_pp=run.get("virtual_pp", 1),
         output_dir=run.get("output_dir"),
         fsdp=run.get("fsdp", False),
         profile_steps=(

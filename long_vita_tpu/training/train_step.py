@@ -89,6 +89,7 @@ def make_train_step(
     cp_algo: str = "ring",
     cp_inner: int = 1,
     cp_window: int = 0,
+    virtual_pp: int = 1,
     remat: bool = True,
     vision_chunk: int = 0,
     freeze_vision: bool = False,
@@ -106,7 +107,8 @@ def make_train_step(
     )
     parallel = (
         ParallelConfig(
-            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window
+            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
+            virtual_pp=virtual_pp,
         )
         if (mesh is not None and (use_ring or pp > 1 or moe_ep)) else None
     )
@@ -150,6 +152,7 @@ def make_grad_accum_steps(
     cp_algo: str = "ring",
     cp_inner: int = 1,
     cp_window: int = 0,
+    virtual_pp: int = 1,
     remat: bool = True,
     vision_chunk: int = 0,
     freeze_vision: bool = False,
@@ -166,7 +169,8 @@ def make_grad_accum_steps(
     pp = mesh.shape.get("pp", 1) if mesh is not None else 1
     parallel = (
         ParallelConfig(
-            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window
+            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
+            virtual_pp=virtual_pp,
         )
         if (mesh is not None and (use_ring or pp > 1)) else None
     )

@@ -70,6 +70,7 @@ class TrainerConfig:
     cp_algo: str = "ring"  # "ring" | "ulysses" | "hybrid"
     cp_inner: int = 1  # hybrid: ulysses lanes per ring group
     cp_window: int = 0  # double-ring window size (reference --cp-window-size)
+    virtual_pp: int = 1  # interleaved-pipeline chunks per pp stage
     fsdp: bool = False  # shard layer-stacked params over dp (ZeRO-3 style)
     resume: bool = True  # auto-resume from save_dir's latest checkpoint
     straggler_threshold: float = 2.0  # warn when a step takes > thr x median
@@ -130,7 +131,10 @@ class Trainer:
         self.tcfg = tcfg
         from long_vita_tpu.parallel.mesh import validate_geometry
 
-        validate_geometry(cfg.text, tcfg.mesh, seq_len=tcfg.seq_len)
+        validate_geometry(
+            cfg.text, tcfg.mesh, seq_len=tcfg.seq_len,
+            virtual_pp=tcfg.virtual_pp,
+        )
         self.mesh = make_mesh(tcfg.mesh) if tcfg.mesh.size > 1 else None
         self.tx = make_optimizer(
             params, tcfg.optim,
@@ -165,6 +169,7 @@ class Trainer:
             cp_algo=tcfg.cp_algo,
             cp_inner=tcfg.cp_inner,
             cp_window=tcfg.cp_window,
+            virtual_pp=tcfg.virtual_pp,
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
             freeze_vision=tcfg.optim.freeze_vision,
