@@ -147,6 +147,65 @@ def _with_lora(entry: Params, x: jnp.ndarray, out: jnp.ndarray,
     return out + ((x @ entry["lora"]["a"]) @ entry["lora"]["b"]) * scale
 
 
+def _cp_dense(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    parallel: Optional["ParallelConfig"],
+) -> jnp.ndarray:
+    """``x @ kernel`` with a cp-LOCAL weight gradient.
+
+    Under cp training the activations are seq-sharded over the cp axis.
+    The default VJP's weight-grad contraction (sum over tokens of
+    x^T dy) makes GSPMD all-gather the seq-sharded activation over cp —
+    at stage-4 scale that is a [1, 1M, H/tp] (1.34 GB bf16) gather PER
+    LAYER in the backward scan, ~64 GB of ICI traffic per micro-step
+    (PERF.md round-3 AOT inventory). The true contraction is
+    cp-decomposable: each rank contracts its own token rows and the
+    [in, out] partials psum over cp — dw bytes instead of activation
+    bytes on the wire. Forward and dx are untouched (identical to the
+    default VJP); only dw's schedule changes.
+    """
+    if (
+        parallel is None
+        or parallel.mesh.shape.get(parallel.axis_cp, 1) <= 1
+        or x.ndim != 3
+    ):
+        return x @ kernel
+
+    from jax.sharding import PartitionSpec as P
+
+    @jax.custom_vjp
+    def dense(x_, w_):
+        return x_ @ w_
+
+    def fwd(x_, w_):
+        return x_ @ w_, (x_, w_)
+
+    def bwd(res, dy):
+        x_, w_ = res
+        dx = dy @ w_.T
+
+        def local_dw(xl, dyl):
+            return jax.lax.psum(
+                jnp.einsum("bsh,bso->ho", xl, dyl), parallel.axis_cp
+            )
+
+        # manual over cp ONLY: tp/dp stay GSPMD-auto inside, so the
+        # tp-sharded hidden/intermediate dims are NOT forced replicated
+        # at entry (a fully-manual map would all-gather them over tp)
+        seq_spec = P(None, parallel.axis_cp, None)
+        dw = jax.shard_map(
+            local_dw, mesh=parallel.mesh,
+            in_specs=(seq_spec, seq_spec), out_specs=P(),
+            axis_names={parallel.axis_cp},
+            check_vma=False,
+        )(x_, dy)
+        return dx, dw
+
+    dense.defvjp(fwd, bwd)
+    return dense(x, kernel)
+
+
 def _cp_attention_sharded(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -313,13 +372,16 @@ def _attention_block(
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     q = _with_lora(
-        layer["q_proj"], x, x @ layer["q_proj"]["kernel"], cfg
+        layer["q_proj"], x, _cp_dense(x, layer["q_proj"]["kernel"], parallel),
+        cfg,
     ) + layer["q_proj"]["bias"]
     k = _with_lora(
-        layer["k_proj"], x, x @ layer["k_proj"]["kernel"], cfg
+        layer["k_proj"], x, _cp_dense(x, layer["k_proj"]["kernel"], parallel),
+        cfg,
     ) + layer["k_proj"]["bias"]
     v = _with_lora(
-        layer["v_proj"], x, x @ layer["v_proj"]["kernel"], cfg
+        layer["v_proj"], x, _cp_dense(x, layer["v_proj"]["kernel"], parallel),
+        cfg,
     ) + layer["v_proj"]["bias"]
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
@@ -455,7 +517,10 @@ def _attention_block(
         )
 
     flat = out.reshape(b, s, hq * d)
-    out = _with_lora(layer["o_proj"], flat, flat @ layer["o_proj"]["kernel"], cfg)
+    out = _with_lora(
+        layer["o_proj"], flat,
+        _cp_dense(flat, layer["o_proj"]["kernel"], parallel), cfg,
+    )
     return out, new_cache_kv
 
 
@@ -473,11 +538,18 @@ def _mlp_block(
     partial-manual shard_map)."""
     if "router" in layer:
         return _moe_mlp_block(layer, x, cfg, parallel)
-    gate = _with_lora(layer["gate_proj"], x, x @ layer["gate_proj"]["kernel"], cfg)
-    up = _with_lora(layer["up_proj"], x, x @ layer["up_proj"]["kernel"], cfg)
+    gate = _with_lora(
+        layer["gate_proj"], x,
+        _cp_dense(x, layer["gate_proj"]["kernel"], parallel), cfg,
+    )
+    up = _with_lora(
+        layer["up_proj"], x,
+        _cp_dense(x, layer["up_proj"]["kernel"], parallel), cfg,
+    )
     act = jax.nn.silu(gate) * up
     out = _with_lora(
-        layer["down_proj"], act, act @ layer["down_proj"]["kernel"], cfg
+        layer["down_proj"], act,
+        _cp_dense(act, layer["down_proj"]["kernel"], parallel), cfg,
     )
     return out, jnp.zeros((), jnp.float32)
 

@@ -334,3 +334,49 @@ def test_grad_accumulation_exact_with_equal_counts():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=2e-6
         )
+
+
+def test_cp_sharded_grads_match_unsharded():
+    """cp-sharded train grads == unsharded grads (exercises _cp_dense's
+    cp-local weight-grad VJP against the default all-token contraction)."""
+    from long_vita_tpu.models.qwen2 import ParallelConfig
+    from long_vita_tpu.parallel.mesh import make_mesh
+    from long_vita_tpu.parallel.zigzag import (
+        inverse_zigzag_permutation,
+        zigzag_permute,
+    )
+    from long_vita_tpu.training.train_step import loss_fn
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    rng = np.random.default_rng(3)
+    seq, budget, cp = 128, 32, 2
+    tokens = rng.integers(0, cfg.text.vocab_size, size=(1, seq))
+    pos = np.broadcast_to(np.arange(seq), (1, seq)).copy()
+    logit_positions = np.linspace(4, seq - 2, budget).astype(np.int32)[None]
+    labels = tokens[0][logit_positions + 1].astype(np.int32)
+    base = {
+        "tokens": jnp.asarray(tokens), "positions": jnp.asarray(pos),
+        "segment_ids": jnp.zeros((1, seq), jnp.int32),
+        "logit_positions": jnp.asarray(logit_positions),
+        "labels": jnp.asarray(labels),
+        "images": None, "image_indices": None,
+    }
+    def gfn(par):
+        return jax.jit(
+            jax.grad(lambda p, b: loss_fn(p, b, cfg, par, True)[0])
+        )
+    g_ref = gfn(None)(params, base)
+
+    mesh = make_mesh(MeshConfig(dp=1, cp=cp, tp=2), devices=jax.devices()[:4])
+    inv = inverse_zigzag_permutation(seq, cp)
+    permuted = dict(base)
+    for key in ("tokens", "positions", "segment_ids"):
+        permuted[key] = zigzag_permute(base[key], cp)
+    permuted["logit_positions"] = jnp.asarray(inv)[base["logit_positions"]]
+    g_cp = gfn(ParallelConfig(mesh))(params, permuted)
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_cp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2e-4
+        )
