@@ -24,6 +24,7 @@ def build_engine(
     tp: int = 1,
     cp: int = 1,
     kv_quant: bool = False,
+    prefix_cache: int = 0,
 ):
     import jax
     import jax.numpy as jnp
@@ -47,6 +48,7 @@ def build_engine(
     return InferenceEngine(
         params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
         cache_dtype=dtype, mesh=mesh, kv_quant=kv_quant,
+        prefix_cache_entries=prefix_cache,
     )
 
 
@@ -77,6 +79,12 @@ def main(argv=None):
                              "sequence; 1M-token serving)")
     parser.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache (half the memory/bandwidth)")
+    parser.add_argument("--prefix-cache", type=int, default=0,
+                        help="keep N prompt KV snapshots and resume prefill "
+                             "after the longest matching prefix (multi-turn "
+                             "chat / repeated long-video prompts skip most "
+                             "of TTFT; each entry holds a full cache "
+                             "allocation)")
     parser.add_argument("--serve", action="store_true")
     parser.add_argument("--continuous", action="store_true",
                         help="serve with continuous (slot-pool) batching")
@@ -89,7 +97,7 @@ def main(argv=None):
     engine = build_engine(
         args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
         max_num_frame=args.max_num_frame, dtype_name=args.dtype, tp=args.tp,
-        cp=args.cp, kv_quant=args.kv_quant,
+        cp=args.cp, kv_quant=args.kv_quant, prefix_cache=args.prefix_cache,
     )
 
     if args.serve:

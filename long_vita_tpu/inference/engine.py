@@ -62,6 +62,8 @@ class PrefillJob:
     padded: int
     start: int = 0
     last_hidden: Optional[jnp.ndarray] = None
+    media_key: str = ""     # prefix-cache fingerprint of the tile stack
+    resumed_from: int = 0   # tokens restored from the prefix cache
 
     @property
     def done(self) -> bool:
@@ -82,6 +84,7 @@ class InferenceEngine:
         kv_quant: bool = False,
         mesh=None,
         decode_segment: int = 64,
+        prefix_cache_entries: int = 0,
     ):
         """mesh: optional jax Mesh for multi-chip serving — params shard by
         the training rules (TP on heads/MLP/vocab), the KV cache shards its
@@ -96,6 +99,15 @@ class InferenceEngine:
         self.kv_quant = kv_quant
         self.decode_segment = decode_segment
         self.eos_id = cfg.text.eos_token_id
+        # cross-request prefix KV reuse (inference/prefix_cache.py): skips
+        # re-prefilling a shared prompt prefix — multi-turn chat over one
+        # long video re-pays ~the whole TTFT every turn without it (the
+        # reference recomputes the full prompt per request)
+        self.prefix_cache = None
+        if prefix_cache_entries > 0:
+            from long_vita_tpu.inference.prefix_cache import PrefixCache
+
+            self.prefix_cache = PrefixCache(prefix_cache_entries, chunk)
         self.mesh = mesh
         self.parallel = None
         if mesh is not None:
@@ -363,12 +375,24 @@ class InferenceEngine:
                 self.params, jnp.asarray(images, self.cache_dtype)
             )
             indices = jnp.asarray(image_indices)
-        cache = self._make_cache(
-            batch=1, max_len=_round_up(self.max_seq_len, self.chunk)
-        )
+        media_key, cache, start = "", None, 0
+        if self.prefix_cache is not None:
+            from long_vita_tpu.inference.prefix_cache import media_fingerprint
+
+            media_key = media_fingerprint(images)
+            hit = self.prefix_cache.match(
+                np.asarray(input_ids, np.int32), media_key
+            )
+            if hit is not None:
+                cache, start = hit
+        if cache is None:
+            cache = self._make_cache(
+                batch=1, max_len=_round_up(self.max_seq_len, self.chunk)
+            )
         return PrefillJob(
             ids=jnp.asarray(ids), feats=feats, indices=indices,
             cache=cache, true_len=true_len, padded=padded,
+            start=start, media_key=media_key, resumed_from=start,
         )
 
     def prefill_step(self, job: PrefillJob) -> bool:
@@ -588,9 +612,12 @@ class InferenceEngine:
             max_num_frame=max_num_frame,
         )
 
-        cache, last_hidden, true_len = self.prefill(
+        job = self.start_prefill(
             expanded.input_ids, expanded.images, expanded.image_indices
         )
+        while not job.done:
+            self.prefill_step(job)
+        cache, last_hidden, true_len = self.finish_prefill(job)
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
         token, first_lp = self._head_sample(
@@ -612,11 +639,24 @@ class InferenceEngine:
             )
             out_tokens += [int(t) for t in np.asarray(tokens[0])]
             logprobs += [float(x) for x in np.asarray(lps[0])]
+        stopped = False
         for idx, t in enumerate(out_tokens):
             if t in stop_set:
                 out_tokens = out_tokens[:idx]
                 logprobs = logprobs[:idx]
+                stopped = True
                 break
+        if self.prefix_cache is not None:
+            # kv is valid for every token that was FED back (all of them if
+            # a stop token ended decode; all but the final sample otherwise)
+            n_fed = len(out_tokens) if stopped else max(0, len(out_tokens) - 1)
+            ids_cached = np.concatenate([
+                np.asarray(expanded.input_ids, np.int32),
+                np.asarray(out_tokens[:n_fed], np.int32),
+            ])
+            self.prefix_cache.put(
+                ids_cached, cache, true_len + n_fed, job.media_key
+            )
         text = self.mm.tokenizer.decode(out_tokens, skip_special_tokens=True)
         return GenerationResult(
             out_tokens, text, true_len,
