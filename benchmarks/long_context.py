@@ -19,6 +19,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -127,6 +128,11 @@ def main():
     parser.add_argument("--from-ids", action="store_true",
                         help="embed per chunk inside the scan (1M-scale: "
                              "the full [1,S,H] embeds never materialize)")
+    parser.add_argument("--split", type=int, default=1,
+                        help="dispatch prefill as N separate executions "
+                             "(engine-style chunk dispatch; a single fused "
+                             "1M execution is ~2 min of device time, which "
+                             "kills the relay's TPU worker — see PERF.md)")
     parser.add_argument("--cp", type=int, default=0,
                         help="cp dryrun: per-device FLOPs on a cp x tp mesh "
                              "vs cp=1 (virtual CPU devices if needed)")
@@ -151,9 +157,13 @@ def main():
         return
     rng = np.random.default_rng(0)
 
-    @jax.jit
-    def prefill_all(params, embeds_or_ids, cache):
-        """All chunks in one compiled program (scan over chunks)."""
+    @partial(jax.jit, donate_argnums=(2,))
+    def prefill_seg(params, embeds_or_ids, cache, chunk0):
+        """One execution: scan over this segment's chunks.
+
+        `chunk0` is the segment's first global chunk index; --split
+        dispatches the prompt as several such executions (cache donated
+        between them) so no single device program runs for minutes."""
         n_chunks = embeds_or_ids.shape[1] // args.chunk
 
         def body(cache, chunk_idx):
@@ -165,7 +175,8 @@ def main():
                     {"embed": {"embedding": params["embed"]["embedding"]}},
                     chunk,
                 )
-            positions = chunk_idx * args.chunk + jnp.arange(args.chunk)[None]
+            positions = ((chunk0 + chunk_idx) * args.chunk
+                         + jnp.arange(args.chunk)[None])
             hidden, cache = qwen2.qwen2_decoder(
                 params, chunk, positions, cfg, kv_cache=cache
             )
@@ -173,6 +184,22 @@ def main():
 
         cache, sums = jax.lax.scan(body, cache, jnp.arange(n_chunks))
         return cache, jnp.sum(sums)
+
+    if args.seq % (args.split * args.chunk) != 0:
+        raise SystemExit("--seq must be divisible by --split * --chunk")
+    seg = args.seq // args.split
+
+    def prefill_all(params, embeds, cache):
+        """Dispatch the prompt as --split executions, host-synced between
+        segments (the engine's chunk-dispatch pattern)."""
+        s_tot = 0.0
+        for si in range(args.split):
+            cache, s = prefill_seg(
+                params, embeds[:, si * seg:(si + 1) * seg], cache,
+                jnp.asarray(si * (seg // args.chunk), jnp.int32),
+            )
+            s_tot += float(jax.device_get(s))
+        return cache, s_tot
 
     @jax.jit
     def decode_n(params, token_embed, start_pos, cache, n_sum):
