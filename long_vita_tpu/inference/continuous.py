@@ -44,6 +44,9 @@ class _Slot:
     tokens: list
     logprobs: list
     remaining: int
+    # for prefix-cache put-back on finish (engine.prefix_cache set)
+    prompt_ids: Optional[np.ndarray] = None
+    media_key: str = ""
 
 
 class ContinuousEngine:
@@ -161,6 +164,8 @@ class ContinuousEngine:
             tokens=[int(token[0])],
             logprobs=[float(lp[0])],
             remaining=self.sampling.max_new_tokens - 1,
+            prompt_ids=np.asarray(job.ids[0, :true_len], np.int32),
+            media_key=job.media_key,
         )
         self.lengths[slot] = true_len
         self.cur_tokens[slot] = int(token[0])
@@ -188,7 +193,7 @@ class ContinuousEngine:
             if s is not None and (
                 s.tokens[-1] in self._stop_set or s.remaining <= 0
             ):
-                finished.append((s.request_id, self._result(s)))
+                finished.append(self._finish(i, s))
                 self.slots[i] = None
         active_mask = np.asarray([s is not None for s in self.slots])
         if not active_mask.any():
@@ -229,7 +234,7 @@ class ContinuousEngine:
             if stop_at is not None:
                 s.tokens += [int(t) for t in row[:stop_at]]
                 s.logprobs += [float(x) for x in lps[i][:stop_at]]
-                finished.append((s.request_id, self._result(s)))
+                finished.append(self._finish(i, s, all_fed=True))
                 self.slots[i] = None
             else:
                 s.tokens += [int(t) for t in row[:take]]
@@ -240,7 +245,7 @@ class ContinuousEngine:
                 if s.remaining <= 0 or (
                     self.lengths[i] >= self.engine.max_seq_len - 1
                 ):
-                    finished.append((s.request_id, self._result(s)))
+                    finished.append(self._finish(i, s))
                     self.slots[i] = None
         return finished
 
@@ -249,6 +254,39 @@ class ContinuousEngine:
         while self.active:
             out += self.step()
         return out
+
+    def _finish(
+        self, i: int, s: _Slot, all_fed: bool = False
+    ) -> tuple[int, GenerationResult]:
+        """Build the result for slot i; snapshot its cache row into the
+        engine's prefix cache so a follow-up turn resumes here."""
+        res = self._result(s)
+        pc = self.engine.prefix_cache
+        if pc is not None and s.prompt_ids is not None:
+            # frontier rule as engine.generate: kv rows are valid for the
+            # prompt plus every kept token that was FED back. The in-tick
+            # stop branch fed every kept token (all_fed); elsewhere the
+            # last kept token may still be un-fed — claim one less (match
+            # aligns down to the chunk grid anyway).
+            stopped = len(res.token_ids) < len(s.tokens)
+            n_fed = (len(res.token_ids) if (all_fed or stopped)
+                     else max(0, len(res.token_ids) - 1))
+            row = lambda x: None if x is None else x[:, i:i + 1]
+            frontier = s.prompt_tokens + n_fed
+            pc.put(
+                np.concatenate([
+                    s.prompt_ids,
+                    np.asarray(res.token_ids[:n_fed], np.int32),
+                ]),
+                KVCache(
+                    row(self.cache.k), row(self.cache.v),
+                    jnp.asarray(frontier, jnp.int32),
+                    k_scale=row(self.cache.k_scale),
+                    v_scale=row(self.cache.v_scale),
+                ),
+                frontier, s.media_key,
+            )
+        return (s.request_id, res)
 
     def _result(self, s: _Slot) -> GenerationResult:
         toks = s.tokens

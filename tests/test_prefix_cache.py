@@ -173,7 +173,7 @@ def test_multiturn_reuse_matches_no_cache_engine(engines):
     r_plain = plain.generate(turn1, sampling=_greedy())
     r_cached = cached.generate(turn1, sampling=_greedy())
     assert r_plain.token_ids == r_cached.token_ids
-    assert len(cached.prefix_cache) == 1
+    assert len(cached.prefix_cache) >= 1  # module fixture: order-independent
 
     turn2 = turn1 + [
         {"role": "assistant", "content": r_cached.text},
@@ -234,3 +234,30 @@ def test_image_prompts_keyed_by_pixels(engines):
     assert job_a.resumed_from >= CHUNK
     r_a2 = cached.generate(msgs, images=[img_a], sampling=_greedy())
     assert r_a2.token_ids == r_a.token_ids
+
+
+def test_continuous_putback_and_resume(engines):
+    """Finished slot-pool requests snapshot into the prefix cache; a
+    follow-up admission resumes, and outputs match the no-cache engine."""
+    from long_vita_tpu.inference.continuous import ContinuousEngine
+
+    plain, cached = engines
+    rng = np.random.default_rng(11)
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    prompt1 = rng.integers(0, 1000, size=40).tolist()
+    ce = ContinuousEngine(cached, sp, max_slots=2, tick=4)
+    rid = ce.add_request(prompt1)
+    r1 = dict(ce.run_to_completion())[rid]
+    saved0 = cached.prefix_cache.tokens_saved
+
+    # follow-up turn: cached prompt+reply is this prompt's prefix
+    prompt2 = prompt1 + r1.token_ids + rng.integers(0, 1000, size=9).tolist()
+    rid2 = ce.start_admission(prompt2)
+    assert ce._admission[2].resumed_from >= CHUNK
+    while ce.admission_step() is None:
+        pass
+    r2 = dict(ce.run_to_completion())[rid2]
+    assert r2.token_ids == plain.generate(
+        input_ids=prompt2, sampling=sp
+    ).token_ids
+    assert cached.prefix_cache.tokens_saved > saved0
