@@ -133,6 +133,9 @@ def main():
                              "(engine-style chunk dispatch; a single fused "
                              "1M execution is ~2 min of device time, which "
                              "kills the relay's TPU worker — see PERF.md)")
+    parser.add_argument("--spec", type=int, default=0,
+                        help="also time a k-token speculative verify step "
+                             "vs a 1-token decode step at this context")
     parser.add_argument("--cp", type=int, default=0,
                         help="cp dryrun: per-device FLOPs on a cp x tp mesh "
                              "vs cp=1 (virtual CPU devices if needed)")
@@ -273,7 +276,7 @@ def main():
     log(f"decode @ {args.seq} ctx: {dt_decode*1000:.2f} ms/tok slice | "
         f"extrapolated 48-layer {1.0/full_decode:.1f} tok/s/chip")
 
-    print(json.dumps({
+    record = {
         "seq": args.seq,
         "layers": args.layers,
         "prefill_s_slice": round(dt_prefill, 3),
@@ -281,7 +284,45 @@ def main():
         "ttft_48layer_s": round(full_ttft, 2),
         "decode_ms_per_tok_slice": round(dt_decode * 1000, 3),
         "decode_tok_s_48layer": round(1.0 / full_decode, 2),
-    }))
+    }
+
+    if args.spec:
+        # speculative verify step: k tokens against the full cache in ONE
+        # pass (inference/speculative.py). ms(verify)/ms(decode) bounds the
+        # speedup at full draft acceptance: k tokens per verify vs k
+        # decode steps.
+        k = args.spec
+
+        @jax.jit
+        def verify_n(params, embeds, start_pos, cache, salt):
+            def body(carry, i):
+                embeds, cache = carry
+                positions = (start_pos + i * 0) + jnp.arange(k)[None]
+                hidden, cache = qwen2.qwen2_decoder(
+                    params, embeds, positions, cfg, kv_cache=cache
+                )
+                return (embeds, cache), jnp.sum(hidden[:, -1].astype(jnp.float32))
+
+            (_, cache), sums = jax.lax.scan(
+                body, (embeds, cache), jnp.arange(args.decode_steps)
+            )
+            return jnp.sum(sums) + 0 * salt
+
+        spec_embeds = jnp.asarray(
+            rng.standard_normal((1, k, cfg.hidden_size)) * 0.02, jnp.bfloat16
+        )
+        _ = jax.device_get(verify_n(params, spec_embeds, start, cache2, 0.0))
+        t0 = time.time()
+        _ = jax.device_get(verify_n(params, spec_embeds, start, cache2, 1.0))
+        dt_verify = (time.time() - t0) / args.decode_steps
+        ratio = dt_verify / dt_decode
+        log(f"verify k={k} @ {args.seq} ctx: {dt_verify*1000:.2f} ms slice | "
+            f"{ratio:.2f}x a decode step | full-acceptance speedup {k/ratio:.1f}x")
+        record["spec_k"] = k
+        record["verify_ms_slice"] = round(dt_verify * 1000, 3)
+        record["spec_max_speedup"] = round(k / ratio, 2)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ def build_engine(
     cp: int = 1,
     kv_quant: bool = False,
     prefix_cache: int = 0,
+    speculative: int = 0,
 ):
     import jax
     import jax.numpy as jnp
@@ -48,7 +49,7 @@ def build_engine(
     return InferenceEngine(
         params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
         cache_dtype=dtype, mesh=mesh, kv_quant=kv_quant,
-        prefix_cache_entries=prefix_cache,
+        prefix_cache_entries=prefix_cache, speculative_k=speculative,
     )
 
 
@@ -79,6 +80,10 @@ def main(argv=None):
                              "sequence; 1M-token serving)")
     parser.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache (half the memory/bandwidth)")
+    parser.add_argument("--speculative", type=int, default=0,
+                        help="prompt-lookup speculative decoding: verify K "
+                             "n-gram draft tokens per step (greedy only; "
+                             "lossless — outputs are bit-identical)")
     parser.add_argument("--prefix-cache", type=int, default=0,
                         help="keep N prompt KV snapshots and resume prefill "
                              "after the longest matching prefix (multi-turn "
@@ -98,6 +103,7 @@ def main(argv=None):
         args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
         max_num_frame=args.max_num_frame, dtype_name=args.dtype, tp=args.tp,
         cp=args.cp, kv_quant=args.kv_quant, prefix_cache=args.prefix_cache,
+        speculative=args.speculative,
     )
 
     if args.serve:

@@ -1,0 +1,126 @@
+"""Prompt-lookup speculative decoding: lossless parity + drafting unit.
+
+The feature is a pure speedup — every test asserts the emitted stream is
+bit-identical to the plain greedy path on the same params (losslessness
+is the contract, see inference/speculative.py). The reference has no
+speculation (one token per forward)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from long_vita_tpu.config import tiny_test_config
+from long_vita_tpu.data.image_processor import ImageProcessor
+from long_vita_tpu.data.multimodal import MultimodalTokenizer
+from long_vita_tpu.inference.engine import InferenceEngine
+from long_vita_tpu.inference.sampler import SamplingParams
+from long_vita_tpu.inference.speculative import draft_tokens
+from long_vita_tpu.models.long_vita import init_long_vita_params
+from long_vita_tpu.tokenizer import QWEN_CHATML_TEMPLATE
+
+REF_TOK = "/root/reference/long_vita/models/long_vita_qwen2_intern"
+
+
+def test_draft_tokens_ngram_lookup():
+    h = np.asarray([5, 6, 7, 1, 2, 3, 9, 9, 1, 2, 3], np.int32)
+    # trailing 3-gram [1,2,3] last occurred at 3..5 -> continuation [9, 9, 1]
+    np.testing.assert_array_equal(draft_tokens(h, 3), [9, 9, 1])
+    np.testing.assert_array_equal(draft_tokens(h, 8), [9, 9, 1, 2, 3])
+    # no trailing match at any n -> empty
+    assert draft_tokens(np.asarray([1, 2, 3, 4], np.int32), 4).size == 0
+    # falls back to shorter n-grams
+    h2 = np.asarray([7, 3, 8, 1, 2, 3], np.int32)  # 3 recurs, [2,3] doesn't
+    np.testing.assert_array_equal(draft_tokens(h2, 2), [8, 1])
+    assert draft_tokens(np.asarray([4], np.int32), 4).size == 0
+
+
+@pytest.fixture(scope="module")
+def pair():
+    transformers = pytest.importorskip("transformers")
+    import os
+
+    if not os.path.isdir(REF_TOK):
+        pytest.skip("tokenizer assets unavailable")
+    tok = transformers.Qwen2Tokenizer(
+        vocab_file=f"{REF_TOK}/vocab.json", merges_file=f"{REF_TOK}/merges.txt"
+    )
+    tok.chat_template = QWEN_CHATML_TEMPLATE
+    mm = MultimodalTokenizer(
+        tok, image_processor=ImageProcessor(image_size=56),
+        image_token_length=4,
+    )
+    cfg = tiny_test_config(vocab_size=-(-(len(tok) + 64) // 128) * 128)
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    plain = InferenceEngine(
+        params, cfg, mm, max_seq_len=512, chunk=16, cache_dtype=jnp.float32
+    )
+    spec = InferenceEngine(
+        params, cfg, mm, max_seq_len=512, chunk=16,
+        cache_dtype=jnp.float32, speculative_k=4,
+    )
+    return plain, spec
+
+
+def _greedy(n):
+    return SamplingParams(greedy=True, max_new_tokens=n,
+                          return_logprobs=True)
+
+
+def test_speculative_matches_plain_greedy(pair):
+    plain, spec = pair
+    rng = np.random.default_rng(0)
+    for size, n_new in ((40, 12), (25, 30), (64, 6)):
+        ids = rng.integers(0, 1000, size=size).tolist()
+        a = plain.generate(input_ids=ids, sampling=_greedy(n_new))
+        b = spec.generate(input_ids=ids, sampling=_greedy(n_new))
+        assert a.token_ids == b.token_ids, (size, n_new)
+        np.testing.assert_allclose(a.logprobs, b.logprobs, atol=1e-4)
+
+
+def test_acceptance_with_oracle_drafts(pair, monkeypatch):
+    """With a draft source that proposes the model's true continuation
+    (what prompt-lookup achieves on quoting workloads), each verify step
+    must accept k-1 drafts + bonus — k tokens per step, identical output.
+    (A random model's argmax is not periodic, so the organic n-gram path
+    can't be forced to accept; the oracle isolates the accept mechanics.)"""
+    plain, spec = pair
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 1000, size=33).tolist()
+    a = plain.generate(input_ids=ids, sampling=_greedy(16))
+    full = np.concatenate([ids, a.token_ids]).astype(np.int32)
+
+    import long_vita_tpu.inference.speculative as sd
+
+    def oracle(history, k, ngram_max=3):
+        done = len(history)  # prompt + emitted so far
+        return full[done:done + k]
+
+    monkeypatch.setattr(sd, "draft_tokens", oracle)
+    spec._spec_steps = 0
+    b = spec.generate(input_ids=ids, sampling=_greedy(16))
+    assert a.token_ids == b.token_ids
+    # 16 tokens at 4/step (3 accepted + bonus): 4 steps, not 16
+    assert spec._spec_steps <= -(-16 // spec.speculative_k) + 1
+
+
+def test_speculative_chat_and_sampled_fallback(pair):
+    plain, spec = pair
+    msgs = [{"role": "user", "content": "hello speculative world"}]
+    a = plain.generate(msgs, sampling=_greedy(10))
+    b = spec.generate(msgs, sampling=_greedy(10))
+    assert a.token_ids == b.token_ids
+    # non-greedy sampling bypasses speculation but must still work
+    sp = SamplingParams(temperature=0.8, top_k=5, max_new_tokens=6)
+    r1 = spec.generate(msgs, sampling=sp, seed=3)
+    r2 = plain.generate(msgs, sampling=sp, seed=3)
+    assert r1.token_ids == r2.token_ids
+
+
+def test_speculative_k_validation(pair):
+    plain, _ = pair
+    with pytest.raises(ValueError):
+        InferenceEngine(
+            plain.params, plain.cfg, plain.mm, max_seq_len=128, chunk=16,
+            cache_dtype=jnp.float32, speculative_k=1,
+        )
