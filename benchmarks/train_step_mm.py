@@ -37,6 +37,13 @@ def main():
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--layers", type=int, default=4)
     parser.add_argument("--seq", type=int, default=16384)
+    # stage-2 slice-depth sweeps: the 152k-vocab embed/head params+grads
+    # alone are ~12 GB, capping the trainable-ViT bench at a 2-layer LM
+    # slice on one v5e. A reduced vocab frees that HBM for LM layers so
+    # the ViT:LM ratio can approach the real 48-layer geometry; the head
+    # is budget-masked (2048 rows) so its flops share is negligible either
+    # way and is not counted in the MFU model.
+    parser.add_argument("--vocab", type=int, default=152064)
     args = parser.parse_args()
 
     from long_vita_tpu.utils.compile_cache import enable
@@ -54,7 +61,7 @@ def main():
     tok_per_tile = 256
     cfg = LongVITAConfig(
         text=TextConfig(
-            vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+            vocab_size=args.vocab, hidden_size=5120, intermediate_size=13824,
             num_hidden_layers=layers, num_attention_heads=40,
             num_key_value_heads=8, rope_theta=1e6,
         ),

@@ -54,6 +54,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.preprocess_frames_u8.argtypes = lib.preprocess_frames.argtypes
         lib.crop_tiles.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -74,10 +75,17 @@ def preprocess_frames(
     mean, std,
     num_threads: int = 0,
     square_pad: bool = True,
+    precision: str = "u8",
 ) -> np.ndarray:
     """-> float32 [N, out_size, out_size, 3]: expand2square (mean color),
     antialiased bicubic resize, normalize — reference process_images
-    semantics in one native call."""
+    semantics in one native call.
+
+    precision="u8" (default) reproduces the reference's ACTUAL pipeline
+    bit-for-bit (PIL uint8-mode resize: int32 filter weights at 2^22,
+    uint8-clipped intermediate between the passes) and is the fast path;
+    precision="float" matches PIL's float-mode resampler to 1e-5 instead
+    (no fixed-point quantization, ~1 LSB from the uint8 path)."""
     lib = _load()
     assert lib is not None, "native library unavailable"
     frames = np.ascontiguousarray(frames, np.uint8)
@@ -86,7 +94,8 @@ def preprocess_frames(
     out = np.empty((n, out_size, out_size, 3), np.float32)
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
-    lib.preprocess_frames(
+    fn = lib.preprocess_frames_u8 if precision == "u8" else lib.preprocess_frames
+    fn(
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

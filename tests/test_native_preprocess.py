@@ -21,7 +21,11 @@ def _pil_reference(frame: np.ndarray, size: int) -> np.ndarray:
 
 
 @pytest.mark.parametrize("h,w", [(448, 448), (720, 1280), (100, 80)])
-def test_native_matches_pil(h, w):
+def test_native_u8_matches_pil_exactly(h, w):
+    """The default (u8 fixed-point) path is BIT-EXACT vs the reference's
+    actual uint8 PIL pipeline: same int32 weights at 2^22, same uint8-
+    clipped intermediate between the passes. The residual ~5e-7 is float32
+    rounding in the final normalize, not a pixel difference."""
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, size=(3, h, w, 3), dtype=np.uint8)
     got = native.preprocess_frames(
@@ -29,20 +33,33 @@ def test_native_matches_pil(h, w):
     )
     assert got.shape == (3, 448, 448, 3)
     for i in range(3):
-        # uint8-mode PIL quantizes filter weights to 8-bit fixed point and
-        # rounds/clips between the two passes; the native path is exact
-        # float (verified == PIL float mode to 1e-7 below), so only mean
-        # error is comparable here.
+        want = _pil_reference(frames[i], 448)
+        np.testing.assert_allclose(got[i], want, rtol=0, atol=1e-6, err_msg=f"{h}x{w}")
+
+
+@pytest.mark.parametrize("h,w", [(448, 448), (720, 1280), (100, 80)])
+def test_native_float_matches_pil_closely(h, w):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(3, h, w, 3), dtype=np.uint8)
+    got = native.preprocess_frames(
+        frames, 448, IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD,
+        precision="float",
+    )
+    for i in range(3):
+        # uint8-mode PIL quantizes filter weights and rounds/clips between
+        # the two passes; the float path matches PIL FLOAT mode exactly
+        # (below), so only mean error vs uint8 PIL is comparable here.
         want = _pil_reference(frames[i], 448)
         assert np.abs(got[i] - want).mean() < 0.01, (h, w)
 
 
 def test_native_matches_float_pil_exactly():
-    """Against float-mode PIL (no fixed-point), the resampler is exact."""
+    """Against float-mode PIL (no fixed-point), the float path is exact."""
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
     got = native.preprocess_frames(
-        img[None], 448, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]
+        img[None], 448, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+        precision="float",
     )[0]
     want = np.stack(
         [
@@ -68,8 +85,9 @@ def test_process_images_uses_native_for_frame_batches():
     proc = ImageProcessor()
     out = proc.process_images(frames)
     assert out.shape == (4, 448, 448, 3)
+    # the u8 native path is now the default: exact vs the PIL pipeline
     want = _pil_reference(frames[0], 448)
-    assert np.abs(out[0] - want).mean() < 0.01
+    np.testing.assert_allclose(out[0], want, rtol=0, atol=1e-6)
 
 
 def test_crop_tiles():
