@@ -47,3 +47,38 @@ def generate(
     if resp.status_code != 200:
         raise RuntimeError(f"server error {resp.status_code}: {resp.text}")
     return resp.json()["text"][0]
+
+
+def generate_stream(
+    prompt: str,
+    *,
+    url: Optional[str] = None,
+    tokens_to_generate: int = 256,
+    timeout: float = 600.0,
+    **kwargs,
+):
+    """Streaming generate against a --continuous server: yields text deltas
+    as they decode; the final full text is the concatenation. Extra kwargs
+    ride into the request payload (temperature/top_k/top_p/...)."""
+    url = url or os.environ.get("LongVITA_URL", "http://127.0.0.1:5001/api")
+    payload = {
+        "prompts": [prompt],
+        "tokens_to_generate": tokens_to_generate,
+        "stream": True,
+        **kwargs,
+    }
+    resp = requests.put(
+        url, headers={"Content-Type": "application/json"},
+        data=json.dumps(payload), timeout=timeout, stream=True,
+    )
+    if resp.status_code != 200:
+        raise RuntimeError(f"server error {resp.status_code}: {resp.text}")
+    for line in resp.iter_lines():
+        if not line:
+            continue
+        ev = json.loads(line)
+        if ev.get("error"):
+            raise RuntimeError(ev["error"])
+        if ev.get("done"):
+            return
+        yield ev["delta"]

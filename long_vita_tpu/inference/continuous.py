@@ -60,9 +60,15 @@ class ContinuousEngine:
         max_slots: int = 8,
         tick: int = 16,
         seed: int = 0,
+        on_tokens=None,
     ):
+        """on_tokens(rid, token_ids): streaming hook — called with each
+        slot's KEPT tokens as they are produced (first token at admission,
+        then per decode tick; stop tokens and post-stop tails are never
+        reported, so the stream concatenates to the final result)."""
         self.engine = engine
         self.sampling = sampling
+        self.on_tokens = on_tokens
         self.max_slots = max_slots
         self.tick = tick
         smax = _round_up(engine.max_seq_len, engine.chunk)
@@ -170,6 +176,8 @@ class ContinuousEngine:
         self.lengths[slot] = true_len
         self.cur_tokens[slot] = int(token[0])
         self._admission = None
+        if self.on_tokens is not None and int(token[0]) not in self._stop_set:
+            self.on_tokens(rid, [int(token[0])])
         return rid
 
     def add_request(
@@ -232,13 +240,19 @@ class ContinuousEngine:
                     stop_at = j
                     break
             if stop_at is not None:
-                s.tokens += [int(t) for t in row[:stop_at]]
+                kept = [int(t) for t in row[:stop_at]]
+                s.tokens += kept
                 s.logprobs += [float(x) for x in lps[i][:stop_at]]
+                if self.on_tokens is not None and kept:
+                    self.on_tokens(s.request_id, kept)
                 finished.append(self._finish(i, s, all_fed=True))
                 self.slots[i] = None
             else:
-                s.tokens += [int(t) for t in row[:take]]
+                kept = [int(t) for t in row[:take]]
+                s.tokens += kept
                 s.logprobs += [float(x) for x in lps[i][:take]]
+                if self.on_tokens is not None and kept:
+                    self.on_tokens(s.request_id, kept)
                 s.remaining -= take
                 self.lengths[i] += self.tick
                 self.cur_tokens[i] = int(row[self.tick - 1])

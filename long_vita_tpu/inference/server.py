@@ -29,6 +29,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -87,6 +88,7 @@ def _validate(req: dict) -> Optional[str]:
 
 class LongVITARequestHandler(BaseHTTPRequestHandler):
     engine: InferenceEngine = None  # set by make_server
+    protocol_version = "HTTP/1.1"  # chunked transfer for "stream": true
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -115,6 +117,10 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
             self._reply(400, err, "text/plain")
             return
 
+        if req.get("stream"):
+            self._do_stream(req)
+            return
+
         try:
             batcher = getattr(self.server, "batcher", None)
             if batcher is not None and not req.get("beam_width"):
@@ -135,6 +141,44 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
             self._reply(400, str(e), "text/plain")
             return
         self._reply(200, json.dumps(payload))
+
+    def _do_stream(self, req: dict):
+        """"stream": true — chunked NDJSON token deltas, then the final
+        payload with "done": true. Streams ride the continuous batcher's
+        slot pool alongside non-streaming requests (the reference server
+        has no streaming at all, text_generation_server.py:225)."""
+        batcher = getattr(self.server, "batcher", None)
+        if not isinstance(batcher, ContinuousBatcher):
+            self._reply(
+                400, "stream requires the continuous batching server "
+                "(--continuous)", "text/plain")
+            return
+        if len(req["prompts"]) != 1 or req.get("beam_width"):
+            self._reply(
+                400, "stream requires a single prompt without beam_width",
+                "text/plain")
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(obj):
+            data = (json.dumps(obj) + "\n").encode()
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        try:
+            for ev in batcher.submit_stream(req):
+                if isinstance(ev, str):
+                    chunk({"delta": ev})
+                else:  # ("done", payload)
+                    payload = ev[1]
+                    payload["done"] = True
+                    chunk(payload)
+        except Exception as e:  # noqa: BLE001
+            chunk({"error": str(e), "done": True})
+        self.wfile.write(b"0\r\n\r\n")
 
 
 def _request_media(req: dict) -> tuple[list, list]:
@@ -379,7 +423,8 @@ class ContinuousBatcher:
         self._queue: list[tuple] = []
         self._inflight: dict[int, tuple] = {}  # rid -> (box, row_index)
         self.ce = ContinuousEngine(
-            engine, SamplingParams(), max_slots=max_slots, tick=tick
+            engine, SamplingParams(), max_slots=max_slots, tick=tick,
+            on_tokens=self._on_tokens,
         )
         self._key = None
         self.batch_sizes: list[int] = []  # rows in flight per tick
@@ -399,7 +444,56 @@ class ContinuousBatcher:
             payload["logprobs"] = [r.logprobs for r in box["rows"]]
         return payload
 
-    def submit_async(self, req: dict) -> dict:
+    def _on_tokens(self, rid: int, token_ids: list):
+        """ContinuousEngine streaming hook: forward a slot's fresh kept
+        tokens to its request's stream queue (if it asked to stream)."""
+        entry = self._inflight.get(rid)
+        if entry is None:
+            return
+        box, _row = entry
+        q = box.get("stream_q")
+        if q is not None:
+            q.put(("tokens", token_ids))
+
+    def submit_stream(self, req: dict):
+        """Streaming submit: yields text deltas as the pool decodes, then
+        ("done", payload). Single-prompt requests only — the stream is one
+        slot's token feed. Streams ride the SAME slot pool as non-streaming
+        requests (no dedicated decode path to schedule around)."""
+        box = self.submit_async(req, stream=True)
+        ids: list = []
+        emitted = ""
+        tok = self.engine.mm.tokenizer
+        while True:
+            if box["event"].is_set() and box["stream_q"].empty():
+                break
+            try:
+                kind, data = box["stream_q"].get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if kind == "tokens":
+                ids += data
+                text = tok.decode(ids, skip_special_tokens=True)
+                # suffix-delta decode: re-decoding the full id list handles
+                # BPE merge boundaries; hold back while a partial UTF-8
+                # sequence decodes to a replacement char
+                if text.startswith(emitted) and not text.endswith("�"):
+                    delta, emitted = text[len(emitted):], text
+                    if delta:
+                        yield delta
+        if "error" in box:
+            raise box["error"]
+        sampling, _ = _parse_sampling(req, self.engine)
+        payload = {"text": [r.text for r in box["rows"]]}
+        if sampling.return_logprobs:
+            payload["logprobs"] = [r.logprobs for r in box["rows"]]
+        # any tail the delta stream held back (final text is authoritative)
+        full = payload["text"][0]
+        if full.startswith(emitted) and len(full) > len(emitted):
+            yield full[len(emitted):]
+        yield ("done", payload)
+
+    def submit_async(self, req: dict, stream: bool = False) -> dict:
         """Enqueue a request's rows; returns the result box (event-gated)."""
         box: dict = {
             "event": threading.Event(),
@@ -407,6 +501,8 @@ class ContinuousBatcher:
             "pending": len(req["prompts"]),
             "req": req,
         }
+        if stream:
+            box["stream_q"] = queue.Queue()
         key = _sampling_key(req)
         with self._cv:
             for row, prompt in enumerate(req["prompts"]):

@@ -162,6 +162,81 @@ def test_admission_interleaves_with_decode(engine):
     assert box_b["rows"][0].text == want_b.text
 
 
+@pytest.mark.slow
+def test_submit_stream_deltas_concatenate_to_result(engine):
+    """Streaming submit yields >1 delta whose concatenation is exactly the
+    final text, while a second (non-streaming) request shares the pool."""
+    from long_vita_tpu.inference.server import ContinuousBatcher
+
+    batcher = ContinuousBatcher(engine, max_slots=2, tick=2)
+    stream_req = {"prompts": ["stream me a story"], "tokens_to_generate": 16}
+    other_req = {"prompts": ["poolmate"], "tokens_to_generate": 8}
+    other_box = batcher.submit_async(other_req)
+
+    deltas, payload = [], None
+    for ev in batcher.submit_stream(stream_req):
+        if isinstance(ev, str):
+            deltas.append(ev)
+        else:
+            payload = ev[1]
+    assert payload is not None and len(deltas) > 1, deltas
+    assert "".join(deltas) == payload["text"][0]
+
+    other_box["event"].wait(timeout=60)
+    assert other_box["rows"][0] is not None
+
+    sp = SamplingParams(greedy=True, max_new_tokens=16)
+    want = engine.generate(
+        [{"role": "user", "content": "stream me a story"}], sampling=sp
+    )
+    assert payload["text"][0] == want.text
+
+
+@pytest.mark.slow
+def test_server_streaming_ndjson(engine):
+    """"stream": true over the wire: chunked NDJSON deltas, final done
+    payload matching the non-streaming response."""
+    from long_vita_tpu.inference.server import make_server
+
+    server = make_server(engine, host="127.0.0.1", port=0, continuous=True)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/api"
+    try:
+        req = urllib.request.Request(
+            url, data=json.dumps({
+                "prompts": ["stream over http"],
+                "tokens_to_generate": 16, "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="PUT",
+        )
+        events = []
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "application/x-ndjson"
+            for line in resp:
+                events.append(json.loads(line))
+        assert events[-1].get("done") is True
+        deltas = [e["delta"] for e in events[:-1]]
+        assert len(deltas) > 1
+        assert "".join(deltas) == events[-1]["text"][0]
+
+        # matches the non-streaming path
+        code, body = _put(url, {
+            "prompts": ["stream over http"], "tokens_to_generate": 16,
+        })
+        assert code == 200
+        assert json.loads(body)["text"] == events[-1]["text"]
+
+        # guardrails: stream needs a single prompt
+        code, body = _put(url, {
+            "prompts": ["a", "b"], "tokens_to_generate": 4, "stream": True,
+        })
+        assert code == 400 and "single prompt" in body
+    finally:
+        server.shutdown()
+
+
 def test_set_sampling_requires_drained_pool(engine):
     sp = SamplingParams(greedy=True, max_new_tokens=4)
     ce = ContinuousEngine(engine, sp, max_slots=2, tick=2)
