@@ -25,6 +25,11 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--remat", default="full", choices=["full", "dots", "flash"])
+    # depth-linearity sweeps: a reduced vocab frees the 152k embed/head
+    # HBM (params+grads ~12 GB) so deeper LM slices fit one v5e — the
+    # head is budget-masked, so its flops share is negligible either way
+    parser.add_argument("--layers", type=int, default=4)
+    parser.add_argument("--vocab", type=int, default=152064)
     args = parser.parse_args()
     remat = True if args.remat == "full" else args.remat
 
@@ -36,9 +41,9 @@ def main():
     from long_vita_tpu.models import qwen2
     from long_vita_tpu.training.loss import cross_entropy
 
-    layers, seq, budget = 4, 16384, 2048
+    layers, seq, budget = args.layers, 16384, 2048
     cfg = TextConfig(
-        vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+        vocab_size=args.vocab, hidden_size=5120, intermediate_size=13824,
         num_hidden_layers=layers, num_attention_heads=40,
         num_key_value_heads=8, rope_theta=1e6,
     )
