@@ -19,6 +19,7 @@ TPU-first design decisions (vs the reference's Megatron layer classes):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -355,6 +356,13 @@ def _cp_cached_update_attend_sharded(
     return out, ck2, cv2, None, None
 
 
+def _decode_alt() -> bool:
+    """A/B knob for the single-token cache-attention formulation
+    (ops/attention.py decode_attention vs the general grouped einsum) —
+    benchmarks/trace_decode.py races the two on hardware."""
+    return os.environ.get("LVT_DECODE_ATT", "") == "alt"
+
+
 def _attention_block(
     layer: Params,
     x: jnp.ndarray,
@@ -477,6 +485,15 @@ def _attention_block(
                         q_positions=position_ids,
                         kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
                     )
+                elif _decode_alt():
+                    from long_vita_tpu.ops.attention import decode_attention
+
+                    out = decode_attention(
+                        q, ck, cv,
+                        q_positions=position_ids,
+                        kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                        k_scale=ks, v_scale=vs,
+                    )
                 else:
                     from long_vita_tpu.ops.attention import xla_attention_quant
 
@@ -488,6 +505,14 @@ def _attention_block(
                         ),
                         kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
                     )
+            elif s == 1 and _decode_alt():
+                from long_vita_tpu.ops.attention import decode_attention
+
+                out = decode_attention(
+                    q, ck, cv,
+                    q_positions=position_ids,
+                    kv_valid_len=jnp.broadcast_to(cache_len + s, (b,)),
+                )
             else:
                 out = dot_product_attention(
                     q,

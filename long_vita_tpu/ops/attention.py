@@ -100,6 +100,67 @@ def xla_attention(
     return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
+def decode_attention(
+    q: jnp.ndarray,  # [B, 1, Hq, D]
+    k: jnp.ndarray,  # [B, Skv, Hkv, D]
+    v: jnp.ndarray,
+    *,
+    q_positions: jnp.ndarray,  # [B, 1]
+    kv_valid_len: jnp.ndarray,  # [B]
+    k_scale: Optional[jnp.ndarray] = None,  # [B, Skv, Hkv, 1] (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Single-token cache attention as two clean batched dots.
+
+    The general xla_attention einsum ("bqhgd,bkhd->bhgqk") can lower to a
+    dilated CONVOLUTION inside the decode scan (layout propagation from
+    the stacked cache's dynamic-slice picks a grouped-conv form) — seen in
+    the AOT-compiled decode HLO at 128K. This formulation keeps batch dims
+    (b, hkv) explicit so the contraction is an unambiguous batched GEMM:
+    [G, D] x [D, S] per (b, kv-head). Handles bf16 and int8 caches (scales
+    folded after/before the dots, as xla_attention_quant).
+    """
+    b, sq, hq, d = q.shape
+    assert sq == 1, "decode_attention is the Sq==1 path"
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    qg = q[:, 0].reshape(b, hkv, g, d)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    if k_scale is not None:
+        logits = jnp.einsum(
+            "bhgd,bshd->bhgs", qg.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+        )
+        logits = logits * jnp.transpose(
+            k_scale[..., 0], (0, 2, 1)
+        )[:, :, None, :] * scale
+    else:
+        logits = jnp.einsum(
+            "bhgd,bshd->bhgs", qg, k, preferred_element_type=jnp.float32,
+        ) * scale
+
+    kpos = jnp.arange(skv)[None]
+    mask = jnp.logical_and(
+        kpos <= q_positions[:, :1], kpos < kv_valid_len[:, None]
+    )  # [B, Skv]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    if v_scale is not None:
+        probs = probs * jnp.transpose(
+            v_scale[..., 0], (0, 2, 1)
+        )[:, :, None, :]
+    # int8 cache: bf16 operands (the dequant-fused contract of
+    # xla_attention_quant); otherwise follow the cache dtype exactly
+    pdt = jnp.bfloat16 if v_scale is not None else v.dtype
+    out = jnp.einsum(
+        "bhgs,bshd->bhgd", probs.astype(pdt), v.astype(pdt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, 1, hq, d).astype(q.dtype)
+
+
 def xla_attention_quant(
     q: jnp.ndarray,  # [B, Sq, Hq, D]
     k_q: jnp.ndarray,  # [B, Skv, Hkv, D] int8

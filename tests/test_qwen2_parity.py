@@ -135,6 +135,42 @@ def test_kv_cache_decode_matches_full_forward(hf_model):
     assert int(cache.length) == 12
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_alt_formulation_matches(monkeypatch, quant):
+    """LVT_DECODE_ATT=alt (batched-dot decode attention) is numerically
+    equivalent to the default grouped einsum, bf16 and int8 caches."""
+    cfg = tiny_test_config().text
+    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 9)))
+    embeds = qwen2.embed_tokens(params, ids)
+    dtype = jnp.float32
+
+    def run():
+        cache = qwen2.KVCache.zeros(
+            cfg, batch=2, max_len=16, dtype=dtype, quantize=quant
+        )
+        pre_pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+        _, cache = qwen2.qwen2_decoder(
+            params, embeds[:, :8], pre_pos, cfg, kv_cache=cache,
+            attn_impl="xla",
+        )
+        h, _ = qwen2.qwen2_decoder(
+            params, embeds[:, 8:9], jnp.full((2, 1), 8), cfg,
+            kv_cache=cache, attn_impl="xla",
+        )
+        return np.asarray(h[:, 0])
+
+    monkeypatch.delenv("LVT_DECODE_ATT", raising=False)
+    base = run()
+    monkeypatch.setenv("LVT_DECODE_ATT", "alt")
+    alt = run()
+    # int8 path: both formulations bf16-round the dequantized operands at
+    # slightly different points; bound the drift at bf16 epsilon scale
+    tol = 2e-2 if quant else 2e-5
+    np.testing.assert_allclose(alt, base, rtol=0, atol=tol)
+
+
 @pytest.mark.slow
 def test_packed_segment_isolation():
     """Two sequences packed with segment ids == the same run separately."""
