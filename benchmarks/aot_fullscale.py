@@ -16,7 +16,13 @@ Usage:
       --case serve-1m              # one 16K prefill chunk vs 1M int8 cache
 """
 import argparse
+import os
 import re
+
+# kernel dispatch must target TPU even when this process runs on a CPU
+# backend (relay down / CI): without this, "auto" attention compiles the
+# XLA einsum path into the artifact (ops/_target.py)
+os.environ.setdefault("LVT_TARGET", "tpu")
 
 import numpy as np
 
@@ -189,6 +195,85 @@ def train_case(frames: int):
     report(name, lowered.compile())
 
 
+def train_72b_case():
+    """The 72B tp8xfsdp8 stage-1 recipe (configs/stage1_72b_tp8fsdp8.yaml)
+    as a compiled artifact: 64 chips as dp8 (fsdp weight streaming) x tp8,
+    seq 32K, logit budget 32K, remat=flash, vision+text frozen (stage-1
+    trains the projector — reference finetune_qwen25_72b_..._stage1.sh)."""
+    from long_vita_tpu.config import long_vita_72b
+    from long_vita_tpu.models.long_vita import init_long_vita_params
+    from long_vita_tpu.parallel.sharding import long_vita_param_specs
+    from long_vita_tpu.training.optimizer import (
+        OptimizerConfig,
+        make_optimizer,
+    )
+    from long_vita_tpu.training.train_step import TrainState, make_train_step
+
+    from jax.experimental import topologies
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=TOPOLOGY)
+    devices = np.asarray(topo.devices).reshape(8, 1, 1, 8)
+    mesh = Mesh(devices, ("dp", "pp", "cp", "tp"))
+
+    cfg = long_vita_72b()
+    seq, budget = 32768, 32768
+    params_struct = jax.eval_shape(
+        lambda: init_long_vita_params(
+            jax.random.PRNGKey(0), cfg, jnp.bfloat16
+        )
+    )
+    specs = long_vita_param_specs(params_struct, fsdp=True)
+    tx = make_optimizer(
+        params_struct,
+        OptimizerConfig(
+            lr=1e-3, warmup_steps=30, total_steps=1000,
+            freeze_vision=True, freeze_text=True,
+        ),
+        num_vit_layers=cfg.vision.num_hidden_layers,
+    )
+    state = TrainState(
+        params=shard_like_params(params_struct, specs, mesh),
+        opt_state=opt_state_struct(tx, params_struct, mesh, specs),
+        step=jax.ShapeDtypeStruct((), jnp.int32,
+                                  sharding=NamedSharding(mesh, P())),
+    )
+    row = NamedSharding(mesh, P("dp", None))
+    rep = NamedSharding(mesh, P())
+    frames = 8  # one image row per dp shard at max_patch_grid 1
+    t = cfg.image_token_length
+    batch = {
+        "tokens": jax.ShapeDtypeStruct((8, seq), jnp.int32, sharding=row),
+        "positions": jax.ShapeDtypeStruct((8, seq), jnp.int32, sharding=row),
+        "segment_ids": jax.ShapeDtypeStruct((8, seq), jnp.int32, sharding=row),
+        "logit_positions": jax.ShapeDtypeStruct(
+            (8, budget), jnp.int32, sharding=row
+        ),
+        "labels": jax.ShapeDtypeStruct((8, budget), jnp.int32, sharding=row),
+        "images": jax.ShapeDtypeStruct(
+            (frames, cfg.vision.image_size, cfg.vision.image_size, 3),
+            jnp.bfloat16, sharding=rep,
+        ),
+        "image_indices": jax.ShapeDtypeStruct(
+            (2, frames, t), jnp.int32, sharding=rep
+        ),
+    }
+    step = make_train_step(
+        cfg, tx, mesh, remat=True, vision_chunk=8, freeze_vision=True,
+        freeze_text=True,  # stage-1 trains the projector only
+        # remat=True (full): even with every frozen dW pruned, stage-1
+        # still runs a REAL activation backward through all 80 layers to
+        # reach the projector at the embedding — the flash policy's saved
+        # o/lse at 80 layers overflows v5p HBM by ~4 GB (measured: 99.5
+        # vs 95.7 GB); full remat trades that for recompute.
+    )
+    name = "72B stage-1 train step seq=32K gbs=8 tp8xfsdp8 remat=full"
+    print(f"lowering {name} ...", flush=True)
+    lowered = step.lower(state, batch)
+    print("compiling ...", flush=True)
+    report(name, lowered.compile())
+
+
 def serve_case(quant: bool, chunk: int):
     from long_vita_tpu.config import long_vita_14b
     from long_vita_tpu.models import qwen2
@@ -253,7 +338,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
                     choices=["train-text", "train-mm", "serve-1m",
-                             "serve-1m-bf16"])
+                             "serve-1m-bf16", "train-72b"])
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--topology", default=None,
@@ -261,7 +346,9 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.topology:
         TOPOLOGY = a.topology
-    if a.case == "train-text":
+    if a.case == "train-72b":
+        train_72b_case()
+    elif a.case == "train-text":
         train_case(0)
     elif a.case == "train-mm":
         train_case(a.frames)

@@ -35,6 +35,7 @@ def encode_images(
     remat: bool = False,
     attn_impl: str = "auto",
     parallel=None,
+    freeze_tower: bool = False,
 ) -> jnp.ndarray:
     """[N_tiles, H, W, 3] -> [N_tiles, image_token_length, lm_hidden].
 
@@ -43,24 +44,21 @@ def encode_images(
     forward, pretrain_long_vita.py:522-533). attn_impl "short" selects the
     single-pass ViT attention kernel (forward-only surfaces).
 
-    With `parallel` (a qwen2.ParallelConfig) and cp > 1, tiles run
-    BATCH-PARALLEL over the cp axis inside a shard_map — two reasons:
+    With `parallel` (a qwen2.ParallelConfig) and cp > 1, the TOWER runs
+    tile-BATCH-PARALLEL over the cp axis inside a shard_map — two reasons:
     GSPMD cannot auto-partition Mosaic kernels (the 64-chip stage-4 AOT
     fails to lower without this), and it gives the tower cp-fold
     parallelism — the same degree (8) as the reference's TP-sharded ViT
-    (ckpt_converter_intern_vit.py), arranged the TPU way.
+    (ckpt_converter_intern_vit.py), arranged the TPU way. The cp path
+    requires freeze_tower (long_vita_forward routes trainable-ViT cp
+    meshes to the XLA impl): the tower is stop_gradient'd INSIDE the
+    shard_map so AD never transposes it, and the trainable PROJECTOR runs
+    OUTSIDE under plain GSPMD (auto-partitioned GEMMs, standard psum'd
+    param grads) — the same split as the reference, whose torch.no_grad
+    covers tower+pixel-shuffle only (pretrain_long_vita.py:486-502).
     """
 
-    def _encode_chunked(vision_p, projector_p, tiles):
-        def _encode(t):
-            feats = intern_vit(
-                vision_p, t, cfg.vision, remat=remat, attn_impl=attn_impl
-            )
-            # strip CLS (reference modeling_long_vita.py:97)
-            feats = feats[:, 1:, :]
-            return project_features(projector_p, feats, cfg)
-
-        n_local = tiles.shape[0]
+    def _chunked(fn, tiles, n_local):
         if chunk and n_local > chunk:
             pad = -n_local % chunk
             if pad:
@@ -72,37 +70,77 @@ def encode_images(
             batched = tiles.reshape(
                 (n_local + pad) // chunk, chunk, *tiles.shape[1:]
             )
-            out = jax.lax.map(_encode, batched)
-            return out.reshape(n_local + pad, out.shape[2], out.shape[3])[
-                :n_local
-            ]
-        return _encode(tiles)
+            out = jax.lax.map(fn, batched)
+            return out.reshape(-1, *out.shape[2:])[:n_local]
+        return fn(tiles)
+
+    def _tower(vision_p, t, stop_grad):
+        feats = intern_vit(
+            vision_p, t, cfg.vision, remat=remat, attn_impl=attn_impl
+        )
+        if stop_grad:
+            # the reference's --vision-model-freeze wraps ONLY the tower
+            # (+pixel-shuffle) in torch.no_grad
+            # (pretrain_long_vita.py:486-502); the projector keeps its own
+            # grads — it is the ONLY trainable module in stage 1.
+            # stop_gradient here (not on the projector output) skips the
+            # ViT backward while the projector still trains.
+            feats = jax.lax.stop_gradient(feats)
+        # strip CLS (reference modeling_long_vita.py:97)
+        return feats[:, 1:, :]
+
+    def _encode_chunked(vision_p, projector_p, tiles):
+        return _chunked(
+            lambda t: project_features(
+                projector_p, _tower(vision_p, t, freeze_tower), cfg
+            ),
+            tiles, tiles.shape[0],
+        )
 
     n = images.shape[0]
-    cpn = (
-        parallel.mesh.shape.get(parallel.axis_cp, 1)
-        if parallel is not None else 1
+    # tile-parallel axes: every non-pipeline axis with size > 1 (dp, cp
+    # AND tp — a dp8xtp8 72B mesh, a cp8xtp8 stage-4 mesh and a tp8
+    # stage-1/2 mesh all tile-shard the tower; a Mosaic kernel outside a
+    # shard_map cannot lower on ANY multi-device mesh). Sharding tiles
+    # over tp gives the tower the reference's ViT-TP parallel degree
+    # (ckpt_converter_intern_vit.py) arranged batch-parallel.
+    tile_axes = tuple(
+        a for a in (
+            (parallel.axis_dp, parallel.axis_cp, parallel.axis_tp)
+            if parallel else ()
+        )
+        if parallel.mesh.shape.get(a, 1) > 1
     )
-    if cpn > 1:
+    nshard = 1
+    for a in tile_axes:
+        nshard *= parallel.mesh.shape[a]
+    if nshard > 1:
         from jax.sharding import PartitionSpec as P
 
-        pad = -n % cpn
+        pad = -n % nshard
         if pad:
             images = jnp.concatenate(
                 [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)],
                 axis=0,
             )
         rep = lambda tree: jax.tree.map(lambda _: P(), tree)
-        out = jax.shard_map(
-            lambda vp, pp_, tiles: _encode_chunked(vp, pp_, tiles),
-            mesh=parallel.mesh,
-            in_specs=(
-                rep(params["vision"]), rep(params["projector"]),
-                P(parallel.axis_cp),
+        # the tower is ALWAYS stop_gradient'd on this path — tile-sharding
+        # is a frozen/forward-only surface (training routes trainable-ViT
+        # multi-device meshes to the XLA impl in long_vita_forward), and
+        # AD must never transpose the shard_map'd Mosaic kernels
+        feats = jax.shard_map(
+            lambda vp, tiles: _chunked(
+                lambda t: _tower(vp, t, True), tiles, tiles.shape[0]
             ),
-            out_specs=P(parallel.axis_cp),
+            mesh=parallel.mesh,
+            in_specs=(rep(params["vision"]), P(tile_axes)),
+            out_specs=P(tile_axes),
             check_vma=False,
-        )(params["vision"], params["projector"], images)
+        )(params["vision"], images)
+        out = _chunked(
+            lambda f: project_features(params["projector"], f, cfg),
+            feats, feats.shape[0],
+        )
         return out[:n]
     return _encode_chunked(params["vision"], params["projector"], images)
 
@@ -161,28 +199,45 @@ def long_vita_forward(
         # :485-491); our scale-0 optimizer freeze alone would still compute
         # and discard the grads — and (b) the forward-only single-pass
         # attention kernel + cp tile-sharding apply.
-        cpn = (
-            parallel.mesh.shape.get(parallel.axis_cp, 1)
-            if parallel is not None else 1
+        multi = (
+            parallel is not None and parallel.mesh.devices.size > 1
         )
         if freeze_vision:
             vit_impl, vit_parallel = "short", parallel
-        elif cpn > 1:
-            # trainable ViT on a cp mesh (not a reference recipe): the
-            # tile shard_map's backward would need manual psums for the
-            # replicated params, and GSPMD cannot auto-partition Mosaic
-            # kernels — take the XLA (auto-partitionable) path
+        elif multi:
+            # trainable ViT on a multi-device mesh (stage-2 on tp8, or a
+            # cp mesh): the tile shard_map's backward would need manual
+            # psums for the replicated params, and GSPMD cannot
+            # auto-partition (or even lower) Mosaic kernels outside a
+            # shard_map — take the XLA (auto-partitionable) path
             vit_impl, vit_parallel = "xla", None
         else:
             vit_impl, vit_parallel = attn_impl, None
         image_embeds = encode_images(
             params, images, cfg, chunk=vision_chunk, remat=remat,
             attn_impl=vit_impl, parallel=vit_parallel,
+            freeze_tower=freeze_vision,
         )
-        if freeze_vision:
-            image_embeds = jax.lax.stop_gradient(image_embeds)
         inputs_embeds = merge_image_embeddings(
             inputs_embeds, image_embeds, image_indices
+        )
+
+    if parallel is not None and kv_cache is None:
+        # pin the training-forward activation layout: batch over dp, seq
+        # over cp x tp (Megatron sequence parallelism over the tp group —
+        # reference tensor_parallel/layers.py:389-484). GSPMD usually
+        # propagates this on its own, but the multimodal scatter above can
+        # seed a cp-only layout, un-sharding the 48-layer remat stack over
+        # tp: +52 GB/chip at 1M, caught by aot_fullscale --case train-mm.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        inputs_embeds = jax.lax.with_sharding_constraint(
+            inputs_embeds,
+            NamedSharding(
+                parallel.mesh,
+                P(parallel.axis_dp,
+                  (parallel.axis_cp, parallel.axis_tp), None),
+            ),
         )
 
     hidden, new_cache, aux = qwen2_decoder(

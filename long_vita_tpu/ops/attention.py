@@ -314,12 +314,10 @@ def dot_product_attention(
     )
 
 
-@functools.cache
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    from long_vita_tpu.ops._target import target_is_tpu
+
+    return target_is_tpu()
 
 
 def _pick_impl(q, k, causal, kv_valid_len) -> str:

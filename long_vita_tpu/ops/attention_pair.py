@@ -23,7 +23,9 @@ from long_vita_tpu.ops.flash_attention import (
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    from long_vita_tpu.ops._target import target_is_tpu
+
+    return target_is_tpu()
 
 
 def _logits(q, k, scale, causal, q_seg, kv_seg):

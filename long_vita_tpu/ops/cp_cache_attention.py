@@ -38,8 +38,10 @@ def _local_partial(
         getattr(q_offset, "ndim", 0) == 1
         or getattr(valid_len, "ndim", 0) == 1
     )
+    from long_vita_tpu.ops._target import target_is_tpu
+
     if (
-        jax.default_backend() == "tpu" and sq >= 128 and sq % 128 == 0
+        target_is_tpu() and sq >= 128 and sq % 128 == 0
         and not per_row
     ):
         if k_scale is not None:

@@ -81,7 +81,9 @@ BWD_BLOCK_KV_MAJOR = int(
 
 def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (CPU tests)."""
-    return jax.default_backend() != "tpu"
+    from long_vita_tpu.ops._target import target_is_tpu
+
+    return not target_is_tpu()
 
 
 def _cdiv(a: int, b: int) -> int:

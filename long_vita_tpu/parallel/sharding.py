@@ -36,27 +36,28 @@ def text_param_specs(
 ) -> Params:
     """PartitionSpecs matching the pytree of models/qwen2.py params.
 
-    fsdp=True additionally shards the stacked layer dim [L, ...] over dp:
-    the decoder's lax.scan then all-gathers one layer's weights per step
-    (classic FSDP weight streaming — replaces the reference's
-    --use-distributed-optimizer, which only shards optimizer state).
+    fsdp=True additionally shards an INTERIOR dim of each stacked weight
+    over dp (the dim tp does not already claim), NOT the layer dim: the
+    decoder's lax.scan slices layer i locally and GSPMD inserts a
+    per-layer all-gather in the loop body — true ZeRO-3 weight streaming
+    (one layer's weights live at a time), with dW reduce-scattered back.
+    Sharding the LAYER dim instead makes the scan's dynamic-slice
+    cross-shard, and XLA materializes the ENTIRE gathered stack inside
+    the loop: at 72B that is ~18 GB/chip of temps, measured by
+    benchmarks/aot_fullscale.py --case train-72b (99.5 GB, OOM) vs this
+    layout. Replaces the reference's --use-distributed-optimizer (which
+    only shards optimizer state).
     pp=True shards the layer dim over the pipeline axis (each stage holds
     its layers); combine with fsdp to shard each stage's slice over dp too.
     """
     from long_vita_tpu.parallel.mesh import AXIS_PP
 
-    if pp and fsdp:
-        ldim = (AXIS_PP, AXIS_DP)
-    elif pp:
-        ldim = AXIS_PP
-    elif fsdp:
-        ldim = AXIS_DP
-    else:
-        ldim = None
-    col = P(ldim, None, AXIS_TP)  # [L@dp?, in, out@tp]
-    row = P(ldim, AXIS_TP, None)  # [L@dp?, in@tp, out]
+    ldim = AXIS_PP if pp else None
+    fs = AXIS_DP if fsdp else None
+    col = P(ldim, fs, AXIS_TP)  # [L@pp?, in@dp?, out@tp]
+    row = P(ldim, AXIS_TP, fs)  # [L@pp?, in@tp, out@dp?]
     bias_col = P(ldim, AXIS_TP)
-    norm = P(ldim, None)
+    norm = P(ldim, fs)
     vocab = P((AXIS_TP, AXIS_DP) if fsdp else AXIS_TP, None)
     layers = {
         "input_norm": norm,
@@ -81,8 +82,8 @@ def text_param_specs(
         layers["up_proj"] = {"kernel": col}
         layers["down_proj"] = {"kernel": row}
     for t in lora_targets:
-        # adapters are tiny (rank r): replicate except the stacked layer
-        # dim (fsdp/pp follow the base weights)
+        # adapters are tiny (rank r): replicate except the pp layer dim
+        # (not worth fsdp-streaming)
         layers[t]["lora"] = {
             "a": P(ldim, None, None),
             "b": P(ldim, None, None),

@@ -55,7 +55,16 @@ def loss_fn(
     remat: bool,
     vision_chunk: int = 0,
     freeze_vision: bool = False,
+    freeze_text: bool = False,
 ):
+    if freeze_text:
+        # the reference freezes via requires_grad=False, which SKIPS the
+        # weight-grad computation entirely; an optimizer mask alone still
+        # builds every frozen dW (at 72B stage-1 the lm_head dW alone is a
+        # ~5e9-element all-gather per step — caught by aot_fullscale.py).
+        # stop_gradient prunes those transposes at trace time while
+        # activation grads still flow THROUGH the decoder to the projector.
+        params = {**params, "text": jax.lax.stop_gradient(params["text"])}
     logits, _, aux = long_vita_forward(
         params,
         batch["tokens"],
@@ -93,6 +102,7 @@ def make_train_step(
     remat: bool = True,
     vision_chunk: int = 0,
     freeze_vision: bool = False,
+    freeze_text: bool = False,
 ):
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
@@ -105,12 +115,20 @@ def make_train_step(
         and mesh.shape.get("dp", 1) > 1
         and cfg.text.num_experts % mesh.shape.get("dp", 1) == 0
     )
+    # ANY multi-device mesh needs the mesh context threaded into the
+    # model — Pallas (Mosaic) kernels cannot lower outside a shard_map on
+    # a multi-device mesh, even on dp/tp-only geometries (the 72B dp8xtp8
+    # AOT compile fails without this). With cp == 1 the ring shard_map
+    # degenerates to local flash attention over (dp, tp) shards.
     parallel = (
         ParallelConfig(
             mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
             virtual_pp=virtual_pp,
         )
-        if (mesh is not None and (use_ring or pp > 1 or moe_ep)) else None
+        if (
+            mesh is not None
+            and (use_ring or pp > 1 or moe_ep or mesh.devices.size > 1)
+        ) else None
     )
     if parallel is not None and pp > 1:
         assert mesh.shape.get("cp", 1) == 1, "PP and CP are mutually exclusive"
@@ -130,7 +148,7 @@ def make_train_step(
         (loss, count), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch, cfg, parallel, remat, vision_chunk,
-          freeze_vision)
+          freeze_vision, freeze_text)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -156,6 +174,7 @@ def make_grad_accum_steps(
     remat: bool = True,
     vision_chunk: int = 0,
     freeze_vision: bool = False,
+    freeze_text: bool = False,
 ):
     """Gradient accumulation: (grad_fn, apply_fn) for GBS > micro-batch.
 
@@ -186,7 +205,8 @@ def make_grad_accum_steps(
                     )
         (loss, count), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch, cfg, parallel, remat, vision_chunk, freeze_vision)
+        )(params, batch, cfg, parallel, remat, vision_chunk, freeze_vision,
+          freeze_text)
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         return grads, loss, count
 

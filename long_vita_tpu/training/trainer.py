@@ -173,6 +173,13 @@ class Trainer:
             remat=tcfg.remat,
             vision_chunk=tcfg.vision_chunk,
             freeze_vision=tcfg.optim.freeze_vision,
+            # stop-gradient the whole text tree (skips every frozen dW,
+            # the reference's requires_grad=False semantics) — UNLESS LoRA
+            # adapters live inside it (lora_only freezes base weights via
+            # the optimizer mask; adapters must keep their grads)
+            freeze_text=(
+                tcfg.optim.freeze_text and not tcfg.optim.lora_only
+            ),
         )
         if self.accum > 1:
             from long_vita_tpu.training.train_step import (

@@ -42,8 +42,15 @@ def test_fsdp_and_pp_layer_sharding():
 
     mesh = make_mesh(MeshConfig(dp=2), devices=jax.devices()[:2])
     sharded = shard_params(params, mesh, fsdp=True)
+    # fsdp shards an INTERIOR dim, never the layer dim: the scan's
+    # per-layer slice stays shard-local and XLA streams ONE layer's
+    # weights per step (layer-dim sharding makes XLA materialize the
+    # whole gathered stack inside the loop — ~18 GB/chip at 72B)
     k = sharded["text"]["layers"]["q_proj"]["kernel"]
-    assert _local_shape(k)[0] == k.shape[0] // 2  # layer dim over dp
+    assert _local_shape(k)[0] == k.shape[0]  # layer dim intact
+    assert _local_shape(k)[1] == k.shape[1] // 2  # in dim over dp
+    o = sharded["text"]["layers"]["o_proj"]["kernel"]
+    assert _local_shape(o)[-1] == o.shape[-1] // 2  # out dim over dp
 
     mesh = make_mesh(MeshConfig(pp=2), devices=jax.devices()[:2])
     sharded = shard_params(params, mesh, pp=True)

@@ -93,6 +93,159 @@ def test_train_loop_sharded_with_ring(mm):
     assert all(np.isfinite(result["losses"]))
 
 
+def _image_samples(n, mm):
+    from PIL import Image
+
+    return [
+        {
+            "source": "unit",
+            "messages": [
+                {"role": "user", "content": f"<image>\nname the number {i}"},
+                {"role": "assistant", "content": f"the number is {i}"},
+            ],
+            "images": [Image.new("RGB", (64, 64), (i * 8 % 256, 64, 128))],
+        }
+        for i in range(n)
+    ]
+
+
+def _mm_pipeline(mm, tcfg):
+    from long_vita_tpu.data.dataset import ChatMLSupervision, PackedDataset
+
+    sup = ChatMLSupervision(mm)
+    packs = PackedDataset(
+        _image_samples(16, mm), sup, tcfg.seq_len, pad_token_id=0
+    )
+    return batch_iterator(
+        iter(packs), tcfg.global_batch, tcfg.logit_budget, tcfg.mesh.cp
+    )
+
+
+def test_freeze_vision_trains_projector(mm):
+    """Stage-1 semantics: --vision-model-freeze wraps ONLY the tower in
+    no_grad (reference pretrain_long_vita.py:486-502); the projector is the
+    ONLY trainable module in stage 1. The freeze_vision stop_gradient must
+    therefore sit on the tower FEATURES, not the projector output —
+    a post-projector stop silently turns stage-1 training into a no-op.
+    Checks the unsharded path AND the cp tile-shard_map path (whose AD
+    must psum the replicated projector-param grads over cp)."""
+    from long_vita_tpu.models.qwen2 import ParallelConfig
+    from long_vita_tpu.parallel.mesh import make_mesh
+    from long_vita_tpu.training.train_step import loss_fn
+
+    cfg = tiny_test_config(
+        vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128
+    )
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+
+    def grads(batch, parallel, freeze_vision):
+        batch = {
+            k: (jnp.asarray(v) if v is not None else None)
+            for k, v in batch.items()
+        }
+        return jax.grad(
+            lambda p: loss_fn(
+                p, batch, cfg, parallel, False, 0, freeze_vision
+            )[0]
+        )(params)
+
+    tcfg1 = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
+                          mesh=MeshConfig())
+    b1 = next(_mm_pipeline(mm, tcfg1))
+    g_open = grads(b1, None, False)
+    g_frozen = grads(b1, None, True)
+
+    # projector grads survive the freeze, identical to the open path
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        g_open["projector"], g_frozen["projector"],
+    )
+    assert any(
+        float(jnp.abs(g).max()) > 0.0
+        for g in jax.tree.leaves(g_frozen["projector"])
+    ), "projector grads are zero — stage-1 training would be a no-op"
+    # tower grads are pruned
+    assert all(
+        float(jnp.abs(g).max()) == 0.0
+        for g in jax.tree.leaves(g_frozen["vision"])
+    )
+
+    # cp mesh: the frozen tower runs tile-parallel inside a shard_map;
+    # projector grads must come back psum'd (== unsharded values)
+    tcfg2 = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
+                          mesh=MeshConfig(cp=2, dp=1, tp=1))
+    b2 = next(_mm_pipeline(mm, tcfg2))
+    mesh = make_mesh(MeshConfig(dp=1, cp=2, tp=1),
+                     devices=jax.devices()[:2])
+    g_cp = grads(b2, ParallelConfig(mesh), True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        g_frozen["projector"], g_cp["projector"],
+    )
+
+
+def test_freeze_text_stop_gradient_matches_masked(mm):
+    """freeze_text prunes the frozen dW computation (the reference's
+    requires_grad=False semantics; at 72B the lm_head dW alone is a ~10 GB
+    all-gather per step) — the surviving PROJECTOR grads must be identical
+    to the mask-only path, and the text grads must come back zero."""
+    from long_vita_tpu.config import tiny_test_config
+    from long_vita_tpu.training.train_step import loss_fn
+
+    cfg = tiny_test_config(
+        vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128
+    )
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    n_img = 1
+    t = cfg.image_token_length
+    batch = {
+        "tokens": jnp.asarray(
+            rng.integers(0, cfg.text.vocab_size, size=(1, 64))
+        ),
+        "positions": jnp.broadcast_to(jnp.arange(64), (1, 64)),
+        "segment_ids": jnp.zeros((1, 64), jnp.int32),
+        "logit_positions": jnp.arange(32)[None] + 16,
+        "labels": jnp.asarray(rng.integers(0, 100, size=(1, 32))),
+        "images": jnp.asarray(
+            rng.standard_normal(
+                (n_img, cfg.vision.image_size, cfg.vision.image_size, 3)
+            ), jnp.float32,
+        ),
+        "image_indices": jnp.asarray(
+            np.stack([np.zeros((n_img, t), np.int32),
+                      np.arange(n_img * t, dtype=np.int32).reshape(n_img, t)])
+        ),
+    }
+
+    def grads(freeze_text):
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, cfg, None, False, 0, False, freeze_text
+        )
+        return g
+
+    g_masked, g_frozen = grads(False), grads(True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        g_masked["projector"], g_frozen["projector"],
+    )
+    assert all(
+        float(jnp.abs(g).max()) == 0.0
+        for g in jax.tree.leaves(g_frozen["text"])
+    )
+    # and the masked path's text grads were NOT all zero (the pruning is real)
+    assert any(
+        float(jnp.abs(g).max()) > 0.0
+        for g in jax.tree.leaves(g_masked["text"])
+    )
+
+
 def test_zigzag_batch_consistency(mm):
     """cp=1 and cp=2 pipelines must supervise identical (token, label) pairs."""
     tcfg1 = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
