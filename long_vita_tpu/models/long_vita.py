@@ -164,6 +164,58 @@ def merge_image_embeddings(
     return inputs_embeds.at[b_idx, s_idx].set(flat)
 
 
+def merge_image_embeddings_chunked(
+    inputs_embeds: jnp.ndarray,
+    image_embeds: jnp.ndarray,
+    image_indices: jnp.ndarray,
+    chunk: int,
+    constrain=None,
+) -> jnp.ndarray:
+    """merge_image_embeddings as a lax.scan over tile chunks.
+
+    On a mesh, image_embeds are tile-sharded and inputs_embeds
+    seq-sharded; GSPMD implements the scatter by all-gathering the
+    UPDATES — at 4096 frames x 256 tokens that is the full [1M, 5120]
+    (10.7 GB bf16) alive in the forward and saved transposes
+    (aot_fullscale --case train-mm measured it as the largest
+    collective). Scanning over chunks bounds the gathered transient to
+    one chunk (~0.7 GB at 256 tiles) with identical semantics: JAX
+    scatter drops out-of-bounds rows, so the zero/OOB padding tiles are
+    inert, and duplicate indices overwrite in the same order.
+    `constrain` (optional) re-pins the carry's sharding each step so the
+    scan does not drift off the SP layout.
+    """
+    n, t, h = image_embeds.shape
+    if n <= chunk:
+        return merge_image_embeddings(
+            inputs_embeds, image_embeds, image_indices
+        )
+    pad = -n % chunk
+    if pad:
+        image_embeds = jnp.concatenate(
+            [image_embeds, jnp.zeros((pad, t, h), image_embeds.dtype)],
+            axis=0,
+        )
+        # out-of-bounds seq index -> scatter drops the padding rows
+        oob = jnp.full((2, pad, t), inputs_embeds.shape[1], jnp.int32)
+        image_indices = jnp.concatenate(
+            [image_indices, oob.at[0].set(0)], axis=1
+        )
+    c = (n + pad) // chunk
+    feats = image_embeds.reshape(c, chunk, t, h)
+    idx = jnp.moveaxis(image_indices.reshape(2, c, chunk, t), 1, 0)
+
+    def body(carry, xs):
+        f, ix = xs
+        carry = merge_image_embeddings(carry, f, ix)
+        if constrain is not None:
+            carry = constrain(carry)
+        return carry, None
+
+    out, _ = jax.lax.scan(body, inputs_embeds, (feats, idx))
+    return out
+
+
 def long_vita_forward(
     params: Params,
     input_ids: jnp.ndarray,
@@ -218,8 +270,24 @@ def long_vita_forward(
             attn_impl=vit_impl, parallel=vit_parallel,
             freeze_tower=freeze_vision,
         )
-        inputs_embeds = merge_image_embeddings(
-            inputs_embeds, image_embeds, image_indices
+        constrain = None
+        if parallel is not None and kv_cache is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp = NamedSharding(
+                parallel.mesh,
+                P(parallel.axis_dp,
+                  (parallel.axis_cp, parallel.axis_tp), None),
+            )
+            constrain = lambda x: jax.lax.with_sharding_constraint(x, sp)
+            inputs_embeds = constrain(inputs_embeds)
+        merge_chunk = (
+            (vision_chunk or 256) if constrain is not None
+            else image_embeds.shape[0]  # single chip: one fused scatter
+        )
+        inputs_embeds = merge_image_embeddings_chunked(
+            inputs_embeds, image_embeds, image_indices,
+            chunk=merge_chunk, constrain=constrain,
         )
 
     if parallel is not None and kv_cache is None:

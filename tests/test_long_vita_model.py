@@ -25,6 +25,28 @@ def test_merge_image_embeddings_scatter():
     assert float(out[1, 3, 0]) == 0.0
 
 
+def test_merge_image_embeddings_chunked_parity():
+    """Chunked scan merge == one-shot scatter — incl. a non-divisible
+    tile count (OOB padding rows must drop) and duplicate indices
+    (later tiles overwrite earlier, same order)."""
+    from long_vita_tpu.models.long_vita import merge_image_embeddings_chunked
+
+    rng = np.random.default_rng(0)
+    b, s, h, t, n = 2, 64, 8, 4, 7  # 7 tiles, chunk 3 -> pad 2
+    embeds = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((n, t, h)), jnp.float32)
+    b_idx = rng.integers(0, b, size=(n, t))
+    s_idx = rng.integers(0, s, size=(n, t))
+    # force duplicates: tiles 2 and 5 hit the same cells
+    b_idx[5], s_idx[5] = b_idx[2], s_idx[2]
+    indices = jnp.asarray(np.stack([b_idx, s_idx]))
+
+    ref = merge_image_embeddings(embeds, feats, indices)
+    for chunk in (1, 2, 3, 7, 16):
+        out = merge_image_embeddings_chunked(embeds, feats, indices, chunk)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 @pytest.mark.slow
 def test_vlm_forward_with_images_and_logit_mask():
     cfg = tiny_test_config()
