@@ -195,11 +195,17 @@ def train_case(frames: int):
     report(name, lowered.compile())
 
 
-def train_72b_case():
-    """The 72B tp8xfsdp8 stage-1 recipe (configs/stage1_72b_tp8fsdp8.yaml)
-    as a compiled artifact: 64 chips as dp8 (fsdp weight streaming) x tp8,
-    seq 32K, logit budget 32K, remat=flash, vision+text frozen (stage-1
-    trains the projector — reference finetune_qwen25_72b_..._stage1.sh)."""
+def train_72b_case(stage: int = 1):
+    """The 72B tp8xfsdp8 recipes as compiled artifacts: 64 chips as dp8
+    (fsdp weight streaming) x tp8.
+
+    stage 1 (configs/stage1_72b_tp8fsdp8.yaml): seq 32K, budget 32K,
+    vision+text frozen (projector-only — reference
+    finetune_qwen25_72b_..._stage1.sh).
+    stage 2 (configs/stage2_72b_tp8fsdp8.yaml): seq 16K, EVERYTHING
+    trainable incl. the ViT (which therefore takes the XLA
+    auto-partitionable attention path on this mesh), one accumulation
+    micro-step of 8 rows (GBS 512 runs 64 of these per optimizer step)."""
     from long_vita_tpu.config import long_vita_72b
     from long_vita_tpu.models.long_vita import init_long_vita_params
     from long_vita_tpu.parallel.sharding import long_vita_param_specs
@@ -217,7 +223,9 @@ def train_72b_case():
     mesh = Mesh(devices, ("dp", "pp", "cp", "tp"))
 
     cfg = long_vita_72b()
-    seq, budget = 32768, 32768
+    frozen = stage == 1
+    seq = 32768 if frozen else 16384
+    budget = seq
     params_struct = jax.eval_shape(
         lambda: init_long_vita_params(
             jax.random.PRNGKey(0), cfg, jnp.bfloat16
@@ -227,8 +235,10 @@ def train_72b_case():
     tx = make_optimizer(
         params_struct,
         OptimizerConfig(
-            lr=1e-3, warmup_steps=30, total_steps=1000,
-            freeze_vision=True, freeze_text=True,
+            lr=1e-3 if frozen else 1e-5, warmup_steps=30, total_steps=1000,
+            freeze_vision=frozen, freeze_text=frozen,
+            vit_lr_mult=1.0 if frozen else 0.1,
+            vit_layer_decay=1.0 if frozen else 0.9,
         ),
         num_vit_layers=cfg.vision.num_hidden_layers,
     )
@@ -259,15 +269,19 @@ def train_72b_case():
         ),
     }
     step = make_train_step(
-        cfg, tx, mesh, remat=True, vision_chunk=8, freeze_vision=True,
-        freeze_text=True,  # stage-1 trains the projector only
+        cfg, tx, mesh, remat=True, vision_chunk=8, freeze_vision=frozen,
+        freeze_text=frozen,  # stage-1 trains the projector only
         # remat=True (full): even with every frozen dW pruned, stage-1
         # still runs a REAL activation backward through all 80 layers to
         # reach the projector at the embedding — the flash policy's saved
         # o/lse at 80 layers overflows v5p HBM by ~4 GB (measured: 99.5
         # vs 95.7 GB); full remat trades that for recompute.
     )
-    name = "72B stage-1 train step seq=32K gbs=8 tp8xfsdp8 remat=full"
+    name = (
+        f"72B stage-{stage} train step seq={seq//1024}K gbs=8 "
+        "tp8xfsdp8 remat=full"
+        + ("" if frozen else " (all trainable, one accum micro-step)")
+    )
     print(f"lowering {name} ...", flush=True)
     lowered = step.lower(state, batch)
     print("compiling ...", flush=True)
@@ -338,7 +352,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
                     choices=["train-text", "train-mm", "serve-1m",
-                             "serve-1m-bf16", "train-72b"])
+                             "serve-1m-bf16", "train-72b",
+                             "train-72b-stage2"])
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--topology", default=None,
@@ -347,7 +362,9 @@ if __name__ == "__main__":
     if a.topology:
         TOPOLOGY = a.topology
     if a.case == "train-72b":
-        train_72b_case()
+        train_72b_case(stage=1)
+    elif a.case == "train-72b-stage2":
+        train_72b_case(stage=2)
     elif a.case == "train-text":
         train_case(0)
     elif a.case == "train-mm":
