@@ -129,7 +129,7 @@ def report(name, compiled, n_chips=64, topology=None):
     return args_plus_temp
 
 
-def train_case(frames: int):
+def train_case(frames: int, remat="full"):
     from long_vita_tpu.config import long_vita_14b
     from long_vita_tpu.models.long_vita import init_long_vita_params
     from long_vita_tpu.parallel.sharding import long_vita_param_specs
@@ -185,10 +185,14 @@ def train_case(frames: int):
             (2, frames, t), jnp.int32, sharding=rep
         )
     step = make_train_step(
-        cfg, tx, mesh, use_ring=True, remat=True, vision_chunk=256,
+        cfg, tx, mesh, use_ring=True,
+        remat=(True if remat == "full" else remat), vision_chunk=256,
         freeze_vision=True,  # stage-4 trains with the tower frozen
     )
-    name = f"stage4 train step seq=1M mbs=1 cp8xtp8 remat=full frames={frames}"
+    name = (
+        f"stage4 train step seq=1M mbs=1 cp8xtp8 remat={remat} "
+        f"frames={frames}"
+    )
     print(f"lowering {name} ...", flush=True)
     lowered = step.lower(state, batch)
     print("compiling ...", flush=True)
@@ -355,6 +359,7 @@ if __name__ == "__main__":
                              "serve-1m-bf16", "train-72b",
                              "train-72b-stage2"])
     ap.add_argument("--frames", type=int, default=256)
+    ap.add_argument("--remat", default="full", choices=["full", "flash"])
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--topology", default=None,
                     help="override, e.g. v5e:8x8 (64 chips required)")
@@ -366,9 +371,9 @@ if __name__ == "__main__":
     elif a.case == "train-72b-stage2":
         train_72b_case(stage=2)
     elif a.case == "train-text":
-        train_case(0)
+        train_case(0, remat=a.remat)
     elif a.case == "train-mm":
-        train_case(a.frames)
+        train_case(a.frames, remat=a.remat)
     elif a.case == "serve-1m":
         serve_case(True, a.chunk)
     else:

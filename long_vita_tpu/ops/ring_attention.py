@@ -345,6 +345,16 @@ def _ring_vjp_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg,
     o, lse = _ring_fwd(
         q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg, window
     )
+    # Under jax.checkpoint with the "flash" policy (qwen2._remat_policy)
+    # these tags keep (o, lse) saved, so the backward skips the ENTIRE
+    # forward ring pass (kernel grid + one full ppermute KV rotation per
+    # layer) — without them the flash policy silently degraded to full
+    # recompute on cp meshes. o is 160 MB/layer/chip at 1M cp8xtp8;
+    # stage-4 AOT with remat=flash stays GREEN (PERF.md).
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse, q_seg, kv_seg)
 
 

@@ -246,6 +246,50 @@ def test_freeze_text_stop_gradient_matches_masked(mm):
     )
 
 
+def test_flash_remat_matches_full_on_cp_mesh():
+    """remat="flash" must give identical grads to full remat THROUGH the
+    ring path: the policy's saved (o, lse) are tagged inside
+    ring_attention's custom-vjp fwd (without the tags the policy silently
+    degraded to full recompute on cp meshes — the backward re-ran the
+    whole forward ring pass per layer)."""
+    from long_vita_tpu.models.qwen2 import ParallelConfig
+    from long_vita_tpu.parallel.mesh import make_mesh
+    from long_vita_tpu.parallel.zigzag import zigzag_permute
+    from long_vita_tpu.training.train_step import loss_fn
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    rng = np.random.default_rng(5)
+    seq, budget, cp = 128, 32, 2
+    tokens = rng.integers(0, cfg.text.vocab_size, size=(1, seq))
+    logit_positions = np.linspace(4, seq - 2, budget).astype(np.int32)[None]
+    batch = {
+        "tokens": zigzag_permute(jnp.asarray(tokens), cp),
+        "positions": zigzag_permute(
+            jnp.broadcast_to(jnp.arange(seq), (1, seq)), cp
+        ),
+        "segment_ids": jnp.zeros((1, seq), jnp.int32),
+        "logit_positions": jnp.asarray(logit_positions),
+        "labels": jnp.asarray(
+            tokens[0][logit_positions + 1].astype(np.int32)
+        ),
+        "images": None, "image_indices": None,
+    }
+    mesh = make_mesh(MeshConfig(dp=1, cp=cp, tp=2), devices=jax.devices()[:4])
+    par = ParallelConfig(mesh)
+
+    def grads(remat):
+        return jax.jit(
+            jax.grad(lambda p, b: loss_fn(p, b, cfg, par, remat)[0])
+        )(params, batch)
+
+    g_full, g_flash = grads(True), grads("flash")
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_flash)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5
+        )
+
+
 def test_zigzag_batch_consistency(mm):
     """cp=1 and cp=2 pipelines must supervise identical (token, label) pairs."""
     tcfg1 = TrainerConfig(seq_len=128, logit_budget=64, global_batch=1,
