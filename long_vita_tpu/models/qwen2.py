@@ -227,7 +227,25 @@ def _cp_attention_sharded(
     spec = P(parallel.axis_dp, parallel.axis_cp, parallel.axis_tp, None)
     sspec = P(parallel.axis_dp, parallel.axis_cp)
 
-    if parallel.cp_algo == "hybrid":
+    if parallel.mesh.shape.get(parallel.axis_cp, 1) == 1:
+        # dp/tp-only mesh (72B tp8xfsdp8, stage-1/2 tp8): the shard_map is
+        # still required (Mosaic kernels cannot lower under GSPMD), but
+        # ring-with-one-rank would emit a degenerate collective-permute
+        # pair per layer per direction (96-147 per step in the 72B AOT
+        # artifacts) — call the local flash kernel directly instead.
+        from long_vita_tpu.ops.flash_attention import flash_attention
+
+        if segment_ids is None:
+            body = lambda q_, k_, v_: flash_attention(q_, k_, v_)
+            in_specs = (spec, spec, spec)
+            args = (q, k, v)
+        else:
+            body = lambda q_, k_, v_, s_: flash_attention(
+                q_, k_, v_, q_segment_ids=s_, kv_segment_ids=s_
+            )
+            in_specs = (spec, spec, spec, sspec)
+            args = (q, k, v, segment_ids)
+    elif parallel.cp_algo == "hybrid":
         from long_vita_tpu.ops.hybrid_cp import hybrid_attention
 
         if segment_ids is None:
