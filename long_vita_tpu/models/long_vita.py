@@ -181,7 +181,11 @@ def merge_image_embeddings_chunked(
     collective). Scanning over chunks bounds the gathered transient to
     one chunk (~0.7 GB at 256 tiles) with identical semantics: JAX
     scatter drops out-of-bounds rows, so the zero/OOB padding tiles are
-    inert, and duplicate indices overwrite in the same order.
+    inert. Indices are assumed COLLISION-FREE — every (b, s) cell is
+    written by at most one tile token, which the data pipeline guarantees
+    (each <IMG_CONTEXT> position belongs to exactly one tile). With
+    duplicates, XLA scatter ordering is implementation-defined in BOTH
+    the one-shot and chunked forms, so no parity is claimed for them.
     `constrain` (optional) re-pins the carry's sharding each step so the
     scan does not drift off the SP layout.
     """
@@ -244,6 +248,22 @@ def long_vita_forward(
     Returns (logits [B, S or M, vocab] f32, updated kv cache).
     """
     inputs_embeds = qwen2.embed_tokens(params["text"], input_ids)
+    # pin the training-forward activation layout ONCE: batch over dp, seq
+    # over cp x tp (Megatron sequence parallelism over the tp group —
+    # reference tensor_parallel/layers.py:389-484). GSPMD usually
+    # propagates this on its own, but the multimodal scatter below can
+    # seed a cp-only layout, un-sharding the 48-layer remat stack over
+    # tp: +52 GB/chip at 1M, caught by aot_fullscale --case train-mm.
+    constrain = None
+    if parallel is not None and kv_cache is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _sp = NamedSharding(
+            parallel.mesh,
+            P(parallel.axis_dp, (parallel.axis_cp, parallel.axis_tp), None),
+        )
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, _sp)
+        inputs_embeds = constrain(inputs_embeds)
     if images is not None:
         # freeze_vision (stage-3/4): no gradient flows into the tower, so
         # (a) stop_gradient skips the ENTIRE ViT backward — the reference
@@ -270,17 +290,6 @@ def long_vita_forward(
             attn_impl=vit_impl, parallel=vit_parallel,
             freeze_tower=freeze_vision,
         )
-        constrain = None
-        if parallel is not None and kv_cache is None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sp = NamedSharding(
-                parallel.mesh,
-                P(parallel.axis_dp,
-                  (parallel.axis_cp, parallel.axis_tp), None),
-            )
-            constrain = lambda x: jax.lax.with_sharding_constraint(x, sp)
-            inputs_embeds = constrain(inputs_embeds)
         merge_chunk = (
             (vision_chunk or 256) if constrain is not None
             else image_embeds.shape[0]  # single chip: one fused scatter
@@ -289,24 +298,8 @@ def long_vita_forward(
             inputs_embeds, image_embeds, image_indices,
             chunk=merge_chunk, constrain=constrain,
         )
-
-    if parallel is not None and kv_cache is None:
-        # pin the training-forward activation layout: batch over dp, seq
-        # over cp x tp (Megatron sequence parallelism over the tp group —
-        # reference tensor_parallel/layers.py:389-484). GSPMD usually
-        # propagates this on its own, but the multimodal scatter above can
-        # seed a cp-only layout, un-sharding the 48-layer remat stack over
-        # tp: +52 GB/chip at 1M, caught by aot_fullscale --case train-mm.
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        inputs_embeds = jax.lax.with_sharding_constraint(
-            inputs_embeds,
-            NamedSharding(
-                parallel.mesh,
-                P(parallel.axis_dp,
-                  (parallel.axis_cp, parallel.axis_tp), None),
-            ),
-        )
+        if constrain is not None:
+            inputs_embeds = constrain(inputs_embeds)
 
     hidden, new_cache, aux = qwen2_decoder(
         params["text"],

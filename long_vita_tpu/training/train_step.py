@@ -89,6 +89,33 @@ def loss_fn(
     return loss, count
 
 
+def make_parallel_config(
+    mesh: Optional[Mesh],
+    *,
+    cp_algo: str = "ring",
+    cp_inner: int = 1,
+    cp_window: int = 0,
+    virtual_pp: int = 1,
+) -> Optional["ParallelConfig"]:
+    """Mesh context for the model, or None on a single device.
+
+    ANY multi-device mesh needs the mesh context threaded into the
+    model — Pallas (Mosaic) kernels cannot lower outside a shard_map on
+    a multi-device mesh, even on dp/tp-only geometries (the 72B dp8xtp8
+    AOT compile fails without this). With cp == 1 the attention
+    shard_map runs the local flash kernel over (dp, tp) shards. Every
+    caller that jits loss_fn against a mesh (train step, grad-accum
+    micro-step, Trainer.evaluate) MUST build its config here — a stale
+    `use_ring or pp > 1` condition at one call site is a latent
+    trace-time crash on exactly the dp/tp-only recipes."""
+    if mesh is None or mesh.devices.size <= 1:
+        return None
+    return ParallelConfig(
+        mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
+        virtual_pp=virtual_pp,
+    )
+
+
 def make_train_step(
     cfg: LongVITAConfig,
     tx: optax.GradientTransformation,
@@ -107,28 +134,9 @@ def make_train_step(
     """Build the jitted train step. With a mesh, params/batch are expected
     device-put with the sharding rules; the returned fn is donate-safe."""
     pp = mesh.shape.get("pp", 1) if mesh is not None else 1
-    # expert parallelism rides the dp axis and needs the mesh context even
-    # when cp == 1 (reference EPxCP coexistence, parallel_state.py:123-169)
-    moe_ep = (
-        cfg.text.num_experts > 0
-        and mesh is not None
-        and mesh.shape.get("dp", 1) > 1
-        and cfg.text.num_experts % mesh.shape.get("dp", 1) == 0
-    )
-    # ANY multi-device mesh needs the mesh context threaded into the
-    # model — Pallas (Mosaic) kernels cannot lower outside a shard_map on
-    # a multi-device mesh, even on dp/tp-only geometries (the 72B dp8xtp8
-    # AOT compile fails without this). With cp == 1 the ring shard_map
-    # degenerates to local flash attention over (dp, tp) shards.
-    parallel = (
-        ParallelConfig(
-            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
-            virtual_pp=virtual_pp,
-        )
-        if (
-            mesh is not None
-            and (use_ring or pp > 1 or moe_ep or mesh.devices.size > 1)
-        ) else None
+    parallel = make_parallel_config(
+        mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
+        virtual_pp=virtual_pp,
     )
     if parallel is not None and pp > 1:
         assert mesh.shape.get("cp", 1) == 1, "PP and CP are mutually exclusive"
@@ -185,13 +193,9 @@ def make_grad_accum_steps(
     apply_fn applies the mean of the accumulated grads. Loss semantics:
     mean of per-micro-batch mean losses, matching the reference's
     loss/num_micro reduction (pretrain_long_vita.py:831-838)."""
-    pp = mesh.shape.get("pp", 1) if mesh is not None else 1
-    parallel = (
-        ParallelConfig(
-            mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
-            virtual_pp=virtual_pp,
-        )
-        if (mesh is not None and (use_ring or pp > 1)) else None
+    parallel = make_parallel_config(
+        mesh, cp_algo=cp_algo, cp_inner=cp_inner, cp_window=cp_window,
+        virtual_pp=virtual_pp,
     )
 
     def grad_fn_impl(params, batch):

@@ -199,15 +199,14 @@ class Trainer:
         """Mean loss over a validation stream (reference valid datasets)."""
         import jax
 
-        from long_vita_tpu.models.qwen2 import ParallelConfig
-        from long_vita_tpu.training.train_step import loss_fn
+        from long_vita_tpu.training.train_step import (
+            loss_fn,
+            make_parallel_config,
+        )
 
-        parallel = (
-            ParallelConfig(self.mesh, cp_algo=self.tcfg.cp_algo,
-                           cp_inner=self.tcfg.cp_inner)
-            if (self.mesh is not None and
-                (self.tcfg.mesh.cp > 1 or self.tcfg.mesh.pp > 1))
-            else None
+        parallel = make_parallel_config(
+            self.mesh, cp_algo=self.tcfg.cp_algo,
+            cp_inner=self.tcfg.cp_inner, cp_window=self.tcfg.cp_window,
         )
         eval_fn = jax.jit(
             lambda p, b: loss_fn(

@@ -27,19 +27,21 @@ def test_merge_image_embeddings_scatter():
 
 def test_merge_image_embeddings_chunked_parity():
     """Chunked scan merge == one-shot scatter — incl. a non-divisible
-    tile count (OOB padding rows must drop) and duplicate indices
-    (later tiles overwrite earlier, same order)."""
+    tile count (OOB padding rows must drop). Indices are collision-free,
+    matching the data pipeline's contract (each <IMG_CONTEXT> position
+    belongs to exactly one tile); duplicate-index ordering is
+    implementation-defined in XLA scatter and deliberately untested."""
     from long_vita_tpu.models.long_vita import merge_image_embeddings_chunked
 
     rng = np.random.default_rng(0)
     b, s, h, t, n = 2, 64, 8, 4, 7  # 7 tiles, chunk 3 -> pad 2
     embeds = jnp.asarray(rng.standard_normal((b, s, h)), jnp.float32)
     feats = jnp.asarray(rng.standard_normal((n, t, h)), jnp.float32)
-    b_idx = rng.integers(0, b, size=(n, t))
-    s_idx = rng.integers(0, s, size=(n, t))
-    # force duplicates: tiles 2 and 5 hit the same cells
-    b_idx[5], s_idx[5] = b_idx[2], s_idx[2]
-    indices = jnp.asarray(np.stack([b_idx, s_idx]))
+    # collision-free (b, s) cells: one distinct flat cell per tile token
+    cells = rng.choice(b * s, size=n * t, replace=False)
+    indices = jnp.asarray(
+        np.stack([(cells // s).reshape(n, t), (cells % s).reshape(n, t)])
+    )
 
     ref = merge_image_embeddings(embeds, feats, indices)
     for chunk in (1, 2, 3, 7, 16):

@@ -420,6 +420,42 @@ def test_sharded_checkpoint_roundtrip(tmp_path, mm):
 
 
 @pytest.mark.slow
+def test_grad_accumulation_on_dp_tp_mesh(mm):
+    """Accumulation micro-steps on a dp/tp-only MULTI-DEVICE mesh: the
+    grad path must thread the mesh context (make_parallel_config) exactly
+    like the fused step — a stale `use_ring or pp > 1` condition left
+    parallel=None here, which on real TPUs means Pallas kernels outside a
+    shard_map (a trace-time crash) and no SP activation pinning. This is
+    the 72B stage-2 recipe's shape (dp8xtp8, GBS 512 @ mbs 8);
+    dp4xtp2 here (the 8 virtual devices)."""
+    cfg = tiny_test_config(vocab_size=-(-(len(mm.tokenizer) + 64) // 128) * 128)
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    host = jax.tree.map(np.asarray, params)
+
+    def run(micro_batch):
+        tcfg = TrainerConfig(
+            seq_len=128, logit_budget=64, global_batch=8, steps=1,
+            micro_batch=micro_batch, mesh=MeshConfig(dp=4, tp=2),
+            optim=OptimizerConfig(lr=3e-3, total_steps=8), remat=False,
+        )
+        trainer = Trainer(jax.tree.map(jnp.asarray, host), cfg, tcfg)
+        from long_vita_tpu.training.train_step import make_parallel_config
+
+        if micro_batch:  # the accum grad path must see the mesh context
+            assert make_parallel_config(trainer.mesh) is not None
+        rows = micro_batch or 8
+        src = TrainerConfig(seq_len=128, logit_budget=64,
+                            global_batch=rows, mesh=MeshConfig())
+        batches = list(_pipeline(mm, src))[: 8 // rows]
+        result = trainer.train(iter(batches))
+        return result["losses"]
+
+    losses_f, losses_a = run(0), run(4)
+    assert len(losses_f) == len(losses_a) == 1
+    np.testing.assert_allclose(losses_f, losses_a, rtol=2e-3)
+
+
+@pytest.mark.slow
 def test_grad_accumulation_matches_fused(mm):
     """GBS 4 @ mbs 2 (2 accumulation micro-steps) must match the fused
     GBS-4 step when the micro-batches' token counts are equal (the
