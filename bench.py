@@ -43,7 +43,31 @@ def chip_peak_tflops() -> float:
     return 197.0
 
 
+def _backend_watchdog(seconds: float = 240.0):
+    """Exit nonzero (NO json line) if the TPU backend never initializes.
+
+    The axon relay can go down for hours, and jax.devices() then hangs
+    forever inside the C extension — unkillable from Python. A daemon
+    thread hard-exits so the driver records a clean failure + retry
+    instead of a hung round. Disarmed once jax.devices() returns."""
+    import os
+    import threading
+
+    armed = threading.Event()
+
+    def _fire():
+        if not armed.wait(seconds):
+            log(f"bench: TPU backend init exceeded {seconds:.0f}s "
+                "(relay down?) — aborting without a result line")
+            os._exit(3)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return armed
+
+
 def main():
+    watchdog_done = _backend_watchdog()
+
     from long_vita_tpu.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()
@@ -60,6 +84,7 @@ def main():
     )
     log(f"bench: {layers}-layer Qwen2.5-14B slice, seq {seq}, bf16, "
         f"device {jax.devices()[0].device_kind}")
+    watchdog_done.set()  # backend is up; long compiles may follow
 
     params = init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     rng = np.random.default_rng(0)
