@@ -93,6 +93,10 @@ def test_72b_fsdp_recipe_geometry():
     cfg = long_vita_72b()
     validate_geometry(cfg.text, mesh, seq_len=r["data"]["seq_len"])
     assert r["run"]["fsdp"] is True
-    # fsdp shards the stacked layer dim over dp
-    assert cfg.text.num_hidden_layers % mesh.dp == 0
+    # fsdp shards an INTERIOR weight dim over dp (never the layer dim —
+    # that makes the layer scan's slice cross-shard and XLA gathers the
+    # whole stack in-loop; parallel/sharding.py): the hidden and mlp
+    # dims must divide dp for clean per-layer streaming
+    assert cfg.text.hidden_size % mesh.dp == 0
+    assert cfg.text.intermediate_size % mesh.dp == 0
     assert r["run"]["global_batch"] % mesh.dp == 0
