@@ -199,17 +199,19 @@ def train_case(frames: int, remat="full"):
     report(name, lowered.compile())
 
 
-def train_72b_case(stage: int = 1):
-    """The 72B tp8xfsdp8 recipes as compiled artifacts: 64 chips as dp8
-    (fsdp weight streaming) x tp8.
+def train_72b_case(stage: int = 1, pp: bool = False):
+    """The 72B recipes as compiled artifacts on 64 chips.
 
     stage 1 (configs/stage1_72b_tp8fsdp8.yaml): seq 32K, budget 32K,
     vision+text frozen (projector-only — reference
-    finetune_qwen25_72b_..._stage1.sh).
+    finetune_qwen25_72b_..._stage1.sh), dp8 (fsdp weight streaming) x tp8.
     stage 2 (configs/stage2_72b_tp8fsdp8.yaml): seq 16K, EVERYTHING
     trainable incl. the ViT (which therefore takes the XLA
     auto-partitionable attention path on this mesh), one accumulation
-    micro-step of 8 rows (GBS 512 runs 64 of these per optimizer step)."""
+    micro-step of 8 rows (GBS 512 runs 64 of these per optimizer step).
+    pp=True: the STRICT-reference layout instead — tp8 x pp8
+    (configs/stage1_72b_tp8pp8.yaml; the reference's own 64-GPU grid),
+    GPipe microbatches over the pp axis, layer dim sharded per stage."""
     from long_vita_tpu.config import long_vita_72b
     from long_vita_tpu.models.long_vita import init_long_vita_params
     from long_vita_tpu.parallel.sharding import long_vita_param_specs
@@ -223,7 +225,8 @@ def train_72b_case(stage: int = 1):
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=TOPOLOGY)
-    devices = np.asarray(topo.devices).reshape(8, 1, 1, 8)
+    shape = (1, 8, 1, 8) if pp else (8, 1, 1, 8)
+    devices = np.asarray(topo.devices).reshape(shape)
     mesh = Mesh(devices, ("dp", "pp", "cp", "tp"))
 
     cfg = long_vita_72b()
@@ -235,7 +238,7 @@ def train_72b_case(stage: int = 1):
             jax.random.PRNGKey(0), cfg, jnp.bfloat16
         )
     )
-    specs = long_vita_param_specs(params_struct, fsdp=True)
+    specs = long_vita_param_specs(params_struct, fsdp=not pp, pp=pp)
     tx = make_optimizer(
         params_struct,
         OptimizerConfig(
@@ -283,7 +286,8 @@ def train_72b_case(stage: int = 1):
     )
     name = (
         f"72B stage-{stage} train step seq={seq//1024}K gbs=8 "
-        "tp8xfsdp8 remat=full"
+        + ("tp8xpp8 (GPipe)" if pp else "tp8xfsdp8")
+        + " remat=full"
         + ("" if frozen else " (all trainable, one accum micro-step)")
     )
     print(f"lowering {name} ...", flush=True)
@@ -357,7 +361,7 @@ if __name__ == "__main__":
     ap.add_argument("--case", required=True,
                     choices=["train-text", "train-mm", "serve-1m",
                              "serve-1m-bf16", "train-72b",
-                             "train-72b-stage2"])
+                             "train-72b-stage2", "train-72b-pp"])
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--remat", default="full", choices=["full", "flash"])
     ap.add_argument("--chunk", type=int, default=16384)
@@ -370,6 +374,8 @@ if __name__ == "__main__":
         train_72b_case(stage=1)
     elif a.case == "train-72b-stage2":
         train_72b_case(stage=2)
+    elif a.case == "train-72b-pp":
+        train_72b_case(stage=1, pp=True)
     elif a.case == "train-text":
         train_case(0, remat=a.remat)
     elif a.case == "train-mm":

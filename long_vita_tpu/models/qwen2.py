@@ -814,11 +814,20 @@ def _pipelined_decoder(
         mb["seg"] = split(segment_ids)
 
     def stage_body(stage_layers, t):
+        # attention must still run inside a shard_map over the NON-pp axes
+        # (Mosaic kernels cannot lower under GSPMD; the 72B tp8xpp8 AOT
+        # compile fails without this). We are already manual over pp here,
+        # so the nested shard_map uses the CONTEXT mesh (pp marked Manual)
+        # — plain parallel.mesh would be rejected as a mesh mismatch.
+        inner_par = dataclasses.replace(
+            parallel, mesh=jax.sharding.get_abstract_mesh()
+        )
+
         def layer_body(carry, layer):
             x, aux = carry
             x, _, aux_l = decoder_layer(
                 layer, x, t["cos"], t["sin"], cfg, None, None,
-                t["pos"], t.get("seg"), attn_impl, None,
+                t["pos"], t.get("seg"), attn_impl, inner_par,
             )
             return (x, aux + aux_l), None
 
