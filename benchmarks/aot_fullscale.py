@@ -199,7 +199,7 @@ def train_case(frames: int, remat="full"):
     report(name, lowered.compile())
 
 
-def train_72b_case(stage: int = 1, pp: bool = False):
+def train_72b_case(stage: int = 1, pp: bool = False, virtual: int = 1):
     """The 72B recipes as compiled artifacts on 64 chips.
 
     stage 1 (configs/stage1_72b_tp8fsdp8.yaml): seq 32K, budget 32K,
@@ -277,7 +277,7 @@ def train_72b_case(stage: int = 1, pp: bool = False):
     }
     step = make_train_step(
         cfg, tx, mesh, remat=True, vision_chunk=8, freeze_vision=frozen,
-        freeze_text=frozen,  # stage-1 trains the projector only
+        freeze_text=frozen, virtual_pp=virtual,
         # remat=True (full): even with every frozen dW pruned, stage-1
         # still runs a REAL activation backward through all 80 layers to
         # reach the projector at the embedding — the flash policy's saved
@@ -286,7 +286,8 @@ def train_72b_case(stage: int = 1, pp: bool = False):
     )
     name = (
         f"72B stage-{stage} train step seq={seq//1024}K gbs=8 "
-        + ("tp8xpp8 (GPipe)" if pp else "tp8xfsdp8")
+        + (("tp8xpp8 " + (f"interleaved v{virtual}" if virtual > 1
+                           else "(GPipe)")) if pp else "tp8xfsdp8")
         + " remat=full"
         + ("" if frozen else " (all trainable, one accum micro-step)")
     )
@@ -364,6 +365,8 @@ if __name__ == "__main__":
                              "train-72b-stage2", "train-72b-pp"])
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--remat", default="full", choices=["full", "flash"])
+    ap.add_argument("--virtual", type=int, default=1,
+                    help="interleaved pipeline chunks per stage (pp case)")
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--topology", default=None,
                     help="override, e.g. v5e:8x8 (64 chips required)")
@@ -375,7 +378,7 @@ if __name__ == "__main__":
     elif a.case == "train-72b-stage2":
         train_72b_case(stage=2)
     elif a.case == "train-72b-pp":
-        train_72b_case(stage=1, pp=True)
+        train_72b_case(stage=1, pp=True, virtual=a.virtual)
     elif a.case == "train-text":
         train_case(0, remat=a.remat)
     elif a.case == "train-mm":
