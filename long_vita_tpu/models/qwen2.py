@@ -52,6 +52,15 @@ class ParallelConfig:
     axis_pp: str = "pp"
     microbatches: int = 0  # pipeline microbatches (0 -> pp size)
     virtual_pp: int = 1  # interleaved pipeline chunks per stage (1 = GPipe)
+    # Axes the nested compute shard_maps (attention / EP) go manual over;
+    # None = all mesh axes. Inside the pipeline stage body this MUST be
+    # set to {dp, cp, tp}: a nested full-manual shard_map whose specs
+    # never mention pp claims its outputs replicated over pp — unverified
+    # under check_vma=False — and its TRANSPOSE then psums activation
+    # gradients ACROSS PIPELINE STAGES, silently corrupting every weight
+    # grad in pp training (caught by
+    # tests/test_pipeline.py::test_interleaved_train_step_matches_gpipe).
+    manual_axes: Optional[frozenset] = None
 
     @property
     def pp_size(self) -> int:
@@ -146,6 +155,15 @@ def _with_lora(entry: Params, x: jnp.ndarray, out: jnp.ndarray,
         return out
     scale = cfg.lora_alpha / cfg.lora_r
     return out + ((x @ entry["lora"]["a"]) @ entry["lora"]["b"]) * scale
+
+
+def _manual_axes_kw(parallel: "ParallelConfig") -> dict:
+    """axis_names kwarg for the nested compute shard_maps (see
+    ParallelConfig.manual_axes): full-manual outside the pipeline,
+    partial-manual over {dp, cp, tp} inside a pp stage body."""
+    if parallel.manual_axes is None:
+        return {}
+    return {"axis_names": set(parallel.manual_axes)}
 
 
 def _cp_dense(
@@ -296,7 +314,7 @@ def _cp_attention_sharded(
     # carry no varying-mesh-axes annotation (TPU compile path)
     fn = jax.shard_map(
         body, mesh=parallel.mesh, in_specs=in_specs, out_specs=spec,
-        check_vma=False,
+        check_vma=False, **_manual_axes_kw(parallel),
     )
     return fn(*args)
 
@@ -365,7 +383,7 @@ def _cp_cached_update_attend_sharded(
 
     fn = jax.shard_map(
         body, mesh=parallel.mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+        check_vma=False, **_manual_axes_kw(parallel),
     )
     res = fn(*args)
     if quant:
@@ -780,18 +798,17 @@ def _pipelined_decoder(
     schedule instead (Megatron core's virtual-pipeline equivalent,
     SURVEY.md §2b): v layer chunks per stage laid round-robin over the pp
     ring, shrinking the bubble to (pp-1)/v microbatch-times. The layer
-    stack is permuted chunk-major at trace time (interleave_permutation)
-    so each stage's P(pp) shard holds its v chunks contiguously — one
-    static weight-permute collective per step, O(params/pp) ICI bytes
-    (~2.2 GB/chip bf16 for 72B tp8pp8, tens of ms vs multi-second steps;
-    a production trainer could pre-permute storage instead).
+    stack must arrive PRE-PERMUTED chunk-major
+    (parallel/pipeline.py:permute_layer_stack — applied once at state
+    init) so each stage's P(pp) shard holds its v chunks contiguously
+    and the step moves zero weight bytes across stages.
 
     Constraint: CP and PP are mutually exclusive (the 72B TP8/PP8 recipes
     run cp=1)."""
     from jax.sharding import PartitionSpec as P
 
     from long_vita_tpu.parallel.pipeline import (
-        interleave_permutation, pipeline_apply, pipeline_apply_interleaved,
+        pipeline_apply, pipeline_apply_interleaved,
     )
 
     pp = parallel.pp_size
@@ -820,7 +837,14 @@ def _pipelined_decoder(
         # so the nested shard_map uses the CONTEXT mesh (pp marked Manual)
         # — plain parallel.mesh would be rejected as a mesh mismatch.
         inner_par = dataclasses.replace(
-            parallel, mesh=jax.sharding.get_abstract_mesh()
+            parallel, mesh=jax.sharding.get_abstract_mesh(),
+            # manual over the non-pp axes ONLY: a full-manual nested
+            # shard_map would claim its outputs replicated over pp and
+            # its transpose would psum gradients across pipeline stages
+            # (ParallelConfig.manual_axes)
+            manual_axes=frozenset(
+                {parallel.axis_dp, parallel.axis_cp, parallel.axis_tp}
+            ),
         )
 
         def layer_body(carry, layer):
@@ -841,8 +865,12 @@ def _pipelined_decoder(
         assert n_layers % (pp * v) == 0, (
             f"layers {n_layers} % (pp {pp} * virtual_pp {v}) != 0"
         )
-        perm = jnp.asarray(interleave_permutation(n_layers, pp, v))
-        layers = jax.tree.map(lambda x: jnp.take(x, perm, axis=0), layers)
+        # PRE-PERMUTED storage contract: the layer stack must already be
+        # chunk-major (parallel/pipeline.py:permute_layer_stack, applied
+        # once by train_step.init_train_state). Permuting here — inside
+        # the jitted step, on a P("pp")-sharded stack — made XLA
+        # all-gather the entire weight stack per chip every step
+        # (102.6 GB at 72B tp8xpp8 v2, benchmarks/aot_fullscale.py).
         apply = lambda ls, mb_: pipeline_apply_interleaved(
             ls, mb_, stage_body, parallel.axis_pp, virtual=v
         )

@@ -241,6 +241,36 @@ def interleave_permutation(n_layers: int, pp: int, virtual: int):
     return perm
 
 
+def permute_layer_stack(
+    layer_params: Params, pp: int, virtual: int, inverse: bool = False
+) -> Params:
+    """One-time storage relayout for the interleaved schedule: lay the
+    stacked layer dim out chunk-major (interleave_permutation) so each
+    stage's P("pp") shard holds its `virtual` chunks contiguously and the
+    per-step schedule needs NO cross-stage weight movement. (A runtime
+    jnp.take on the pp-sharded stack instead all-gathers the whole stack
+    per chip inside the step — 2.4B-element gathers, 102.6 GB/chip at 72B
+    tp8xpp8 v2, measured by benchmarks/aot_fullscale.py.)
+
+    Apply once at state init (train_step.init_train_state) or after
+    restoring a canonical-order checkpoint; `inverse=True` converts back
+    to canonical layer order (HF export, stage handoff into a different
+    geometry). Analogue of Megatron-core's per-rank model-chunk param
+    grouping for --num-layers-per-virtual-pipeline-stage (SURVEY.md §2b) —
+    there the storage is naturally chunk-local per rank; here the single
+    SPMD layer stack gets the equivalent layout by permutation."""
+    if virtual <= 1:
+        return layer_params
+    import numpy as np
+
+    n_layers = jax.tree.leaves(layer_params)[0].shape[0]
+    perm = np.asarray(interleave_permutation(n_layers, pp, virtual))
+    if inverse:
+        perm = np.argsort(perm)
+    idx = jnp.asarray(perm)
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), layer_params)
+
+
 def split_stages(layer_params: Params, pp: int) -> Params:
     """Host-side: check the stacked layer dim divides into pp stages."""
     leaves = jax.tree.leaves(layer_params)

@@ -242,10 +242,32 @@ def make_grad_accum_steps(
 def init_train_state(
     params: Params, tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None, fsdp: bool = False,
+    virtual_pp: int = 1,
 ) -> TrainState:
+    """Shard params onto the mesh and build optimizer state.
+
+    With `virtual_pp > 1` on a pp mesh, the text layer stack is relaid
+    chunk-major ONCE here (pipeline.permute_layer_stack) — the
+    interleaved schedule's pre-permuted storage contract. Everything
+    downstream (optimizer state, grads, orbax checkpoints of this run)
+    lives in the permuted layout; canonical-order checkpoints convert at
+    the restore boundary (training/checkpoint.py layer-layout metadata).
+    """
     if mesh is not None:
-        pp = mesh.shape.get("pp", 1) > 1
-        specs = long_vita_param_specs(params, fsdp, pp)
+        pp_size = mesh.shape.get("pp", 1)
+        if pp_size > 1 and virtual_pp > 1:
+            from long_vita_tpu.parallel.pipeline import permute_layer_stack
+
+            params = {
+                **params,
+                "text": {
+                    **params["text"],
+                    "layers": permute_layer_stack(
+                        params["text"]["layers"], pp_size, virtual_pp
+                    ),
+                },
+            }
+        specs = long_vita_param_specs(params, fsdp, pp_size > 1)
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
         )

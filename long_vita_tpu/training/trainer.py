@@ -141,7 +141,15 @@ class Trainer:
             num_vit_layers=(cfg.vision.num_hidden_layers if cfg.vision else 0),
         )
         self.state = init_train_state(
-            params, self.tx, self.mesh, fsdp=tcfg.fsdp
+            params, self.tx, self.mesh, fsdp=tcfg.fsdp,
+            virtual_pp=tcfg.virtual_pp,
+        )
+        # interleaved-pp runs hold layer stacks chunk-major; checkpoints
+        # record the layout so a restore into a different geometry fails
+        # loudly instead of silently scrambling layer order
+        self.layer_layout = (
+            (tcfg.mesh.pp, tcfg.virtual_pp)
+            if tcfg.mesh.pp > 1 and tcfg.virtual_pp > 1 else (1, 1)
         )
         self.start_step = 0
         if tcfg.resume and tcfg.save_dir:
@@ -154,7 +162,10 @@ class Trainer:
             step = latest_step(tcfg.save_dir)
             if step is not None:
                 logger.info("resuming from %s step %d", tcfg.save_dir, step)
-                self.state = load_checkpoint(tcfg.save_dir, self.state)
+                self.state = load_checkpoint(
+                    tcfg.save_dir, self.state,
+                    layer_layout=self.layer_layout,
+                )
                 self.start_step = step
         self.accum = 1
         if tcfg.micro_batch and tcfg.micro_batch < tcfg.global_batch:
@@ -331,11 +342,13 @@ class Trainer:
             ):
                 from long_vita_tpu.training.checkpoint import save_checkpoint
 
-                save_checkpoint(tcfg.save_dir, self.state)
+                save_checkpoint(tcfg.save_dir, self.state,
+                                layer_layout=self.layer_layout)
         if tcfg.save_dir:
             from long_vita_tpu.training.checkpoint import save_checkpoint
 
-            save_checkpoint(tcfg.save_dir, self.state)
+            save_checkpoint(tcfg.save_dir, self.state,
+                            layer_layout=self.layer_layout)
         if metrics_log:
             metrics_log.close()
         if profiler:

@@ -143,12 +143,18 @@ def test_interleaved_decoder_matches_plain():
 
     mesh = make_mesh(MeshConfig(pp=2), devices=jax.devices()[:2])
     parallel = ParallelConfig(mesh, microbatches=2, virtual_pp=2)
+    # pre-permuted storage contract: the interleaved decoder expects the
+    # layer stack chunk-major (init_train_state applies this in training)
+    from long_vita_tpu.parallel.pipeline import permute_layer_stack
+
+    pparams = {**params, "layers": permute_layer_stack(
+        params["layers"], pp=2, virtual=2)}
     # jit: eager partial-manual shard_map trips a jax-internal spec check
     got, _ = jax.jit(
         lambda p, e: qwen2.qwen2_decoder(
             p, e, pos, cfg, attn_impl="xla", parallel=parallel
         )
-    )(params, embeds)
+    )(pparams, embeds)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -185,3 +191,99 @@ def test_decoder_pipeline_matches_plain():
     )(params, embeds)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_permute_layer_stack_roundtrip():
+    """Pre-permuted storage relayout: forward take matches
+    interleave_permutation; inverse restores canonical order."""
+    from long_vita_tpu.parallel.pipeline import permute_layer_stack
+
+    rng = np.random.default_rng(0)
+    stack = {"w": jnp.asarray(rng.standard_normal((8, 3)))}
+    out = permute_layer_stack(stack, pp=2, virtual=2)
+    perm = interleave_permutation(8, 2, 2)
+    np.testing.assert_array_equal(
+        np.asarray(out["w"]), np.asarray(stack["w"])[perm]
+    )
+    back = permute_layer_stack(out, pp=2, virtual=2, inverse=True)
+    np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(stack["w"]))
+    # virtual=1 is the identity (GPipe keeps canonical storage)
+    assert permute_layer_stack(stack, pp=4, virtual=1) is stack
+
+
+def test_interleaved_train_step_matches_gpipe():
+    """Full train step at (pp2, v2) == (pp2 GPipe): canonical params in,
+    init_train_state applies the chunk-major relayout ONCE, the step
+    itself moves no weights across stages, and loss + updated params
+    (compared in canonical order) match the GPipe schedule."""
+    import dataclasses as dc
+
+    import optax
+
+    from long_vita_tpu.config import tiny_test_config
+    from long_vita_tpu.models.long_vita import init_long_vita_params
+    from long_vita_tpu.parallel.mesh import MeshConfig, make_mesh
+    from long_vita_tpu.parallel.pipeline import permute_layer_stack
+    from long_vita_tpu.training.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    base = tiny_test_config()
+    cfg = dc.replace(base, text=dc.replace(base.text, num_hidden_layers=4))
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    b, s, budget = 2, 32, 8
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, cfg.text.vocab_size, size=(b, s))
+    batch = {
+        "tokens": jnp.asarray(tokens, jnp.int32),
+        "positions": jnp.broadcast_to(
+            jnp.arange(s), (b, s)
+        ).astype(jnp.int32),
+        "segment_ids": jnp.zeros((b, s), jnp.int32),
+        "logit_positions": jnp.tile(
+            jnp.arange(budget, dtype=jnp.int32), (b, 1)
+        ),
+        "labels": jnp.asarray(tokens[:, 1 : budget + 1], jnp.int32),
+        "images": None,
+        "image_indices": None,
+    }
+    mesh = make_mesh(MeshConfig(pp=2), devices=jax.devices()[:2])
+
+    def run(v):
+        tx = optax.sgd(1e-2)
+        state = init_train_state(
+            jax.tree.map(np.array, params), tx, mesh, virtual_pp=v
+        )
+        step = make_train_step(cfg, tx, mesh, virtual_pp=v, remat=False)
+        state, metrics = step(state, batch)
+        layers = state.params["text"]["layers"]
+        if v > 1:
+            layers = permute_layer_stack(layers, 2, v, inverse=True)
+        return float(metrics["loss"]), jax.tree.map(np.asarray, layers)
+
+    def run_plain():
+        tx = optax.sgd(1e-2)
+        from long_vita_tpu.training.train_step import init_train_state as its
+
+        state = its(jax.tree.map(np.array, params), tx, None)
+        step = make_train_step(cfg, tx, None, remat=False)
+        state, metrics = step(state, batch)
+        return float(metrics["loss"]), jax.tree.map(
+            np.asarray, state.params["text"]["layers"]
+        )
+
+    loss_p, layers_p = run_plain()
+    for v in (1, 2):
+        # both schedules vs the plain decoder: loss AND updated params.
+        # This is the oracle that caught the nested-shard_map transpose
+        # bug (gradients psum'd across pipeline stages): GPipe pp grads
+        # were silently corrupted, not just the interleaved schedule.
+        loss_v, layers_v = run(v)
+        assert abs(loss_p - loss_v) < 1e-5, (v, loss_p, loss_v)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                a, b_, rtol=2e-5, atol=2e-6
+            ),
+            layers_p, layers_v,
+        )

@@ -613,3 +613,56 @@ def test_cp_sharded_grads_match_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=2e-4
         )
+
+
+def test_checkpoint_layer_layout_guard(tmp_path):
+    """Interleaved-pp checkpoints record their chunk-major layer layout:
+    same-geometry resume restores directly, a mismatched-geometry
+    load_checkpoint fails loudly, and restore_params_only (stage handoff)
+    returns CANONICAL layer order regardless of the source layout."""
+    import optax
+
+    from long_vita_tpu.parallel.pipeline import permute_layer_stack
+    from long_vita_tpu.training.checkpoint import (
+        load_checkpoint,
+        restore_params_only,
+        save_checkpoint,
+    )
+    from long_vita_tpu.training.train_step import init_train_state
+
+    import dataclasses as dc
+
+    base = tiny_test_config(vocab_size=512)
+    cfg = dc.replace(base, text=dc.replace(base.text, num_hidden_layers=4))
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tx = optax.sgd(1e-2)
+    # simulate a (pp=2, v=2) run's state: chunk-major layer stacks
+    permuted = {
+        **params,
+        "text": {
+            **params["text"],
+            "layers": permute_layer_stack(params["text"]["layers"], 2, 2),
+        },
+    }
+    state = init_train_state(jax.tree.map(np.array, permuted), tx, None)
+    save_checkpoint(str(tmp_path / "ck"), state, step=1, layer_layout=(2, 2))
+
+    # same-layout resume: fine
+    restored = load_checkpoint(
+        str(tmp_path / "ck"), state, layer_layout=(2, 2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["text"]["layers"]["input_norm"]),
+        np.asarray(permuted["text"]["layers"]["input_norm"]),
+    )
+
+    # different-layout resume: loud failure, not silent layer scramble
+    with pytest.raises(ValueError, match="interleave layout"):
+        load_checkpoint(str(tmp_path / "ck"), state, layer_layout=(1, 1))
+
+    # stage handoff: canonical order comes back
+    handoff = restore_params_only(str(tmp_path / "ck"), state.params)
+    np.testing.assert_array_equal(
+        np.asarray(handoff["text"]["layers"]["input_norm"]),
+        np.asarray(params["text"]["layers"]["input_norm"]),
+    )
