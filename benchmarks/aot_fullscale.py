@@ -23,6 +23,12 @@ import re
 # backend (relay down / CI): without this, "auto" attention compiles the
 # XLA einsum path into the artifact (ops/_target.py)
 os.environ.setdefault("LVT_TARGET", "tpu")
+# every full-scale recipe (stage4_1m, stage{1,2}_72b_*) launches with the
+# fused flash backward's blocks capped at 512 — the default 1024x1024
+# overflows scoped VMEM at the 32K/80L and 1M/cp8 shapes. Mirror the
+# recipe env so artifacts match what the recipes actually run.
+os.environ.setdefault("LVT_BWD_BQ", "512")
+os.environ.setdefault("LVT_BWD_BK", "512")
 
 import numpy as np
 

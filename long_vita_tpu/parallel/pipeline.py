@@ -178,6 +178,27 @@ def pipeline_apply_interleaved(
     )
     outputs = jax.tree.map(lambda x: _pvary(jnp.zeros_like(x)), microbatches)
 
+    # Chunk selection is a lax.switch over `virtual` branches, each closing
+    # over a STATIC slice of the (loop-invariant) stage stack. A
+    # dynamic_slice at the traced chunk index instead makes autodiff stack
+    # per-tick copies of the sliced weights as scan residuals — one full
+    # chunk per tick (23 ticks x ~1.1 GB at 72B tp8xpp8 v2 = +26 GB/chip
+    # vs GPipe, which reads the invariant stage params directly). Static
+    # slices of an invariant hoist out of the loop, the backward re-selects
+    # by the (recomputable) chunk index, and — unlike wrapping the tick in
+    # jax.checkpoint — the existing per-layer remat policy inside body_fn
+    # stays in charge of activation residuals.
+    def _chunk_branch(c):
+        chunk = jax.tree.map(
+            lambda p: jax.lax.slice_in_dim(
+                p, c * l_chunk, (c + 1) * l_chunk, axis=0
+            ),
+            stage_params,
+        )
+        return lambda x: body_fn(chunk, x)
+
+    branches = [_chunk_branch(c) for c in range(virtual)]
+
     def step_fn(carry, t):
         ring, outputs = carry
         u = t - stage
@@ -193,13 +214,7 @@ def pipeline_apply_interleaved(
             lambda mb, r: jnp.where(ingest, mb[mb_cl], r),
             microbatches, ring,
         )
-        chunk_params = jax.tree.map(
-            lambda p: jax.lax.dynamic_slice_in_dim(
-                p, c_idx * l_chunk, l_chunk, axis=0
-            ),
-            stage_params,
-        )
-        y = body_fn(chunk_params, x_in)
+        y = jax.lax.switch(c_idx, branches, x_in)
 
         emit = jnp.logical_and(
             valid,

@@ -101,13 +101,16 @@ def test_interleaved_matches_sequential(pp, v, m):
     want = jax.vmap(lambda mb: body(weights, mb))(x)
     mesh = Mesh(np.asarray(jax.devices()[:pp]), ("pp",))
     perm = jnp.asarray(interleave_permutation(n_layers, pp, v))
-    fn = shard_map(
+    # jit wraps the shard_map: the tick checkpoint (recompute-the-chunk-
+    # slice policy) lowers via closed_call, which eager shard_map cannot
+    # evaluate — and everything runs under jit in the framework anyway
+    fn = jax.jit(shard_map(
         lambda w, xx: pipeline_apply_interleaved(
             w, xx, body, "pp", virtual=v
         ),
         mesh=mesh, in_specs=(P("pp", None, None), P()), out_specs=P(),
         check_vma=False,
-    )
+    ))
     got = fn(jnp.take(weights, perm, 0), x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
