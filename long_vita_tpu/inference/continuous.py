@@ -50,7 +50,12 @@ class _Slot:
 
 
 class ContinuousEngine:
-    """Slot-pool wrapper over an InferenceEngine (single-host, cp=1)."""
+    """Slot-pool wrapper over an InferenceEngine.
+
+    Composes with cp/tp serving meshes (the cache shards over the mesh via
+    engine._make_cache; tests/test_continuous.py::test_continuous_on_cp_mesh)
+    and with multi-host pods via the server's lockstep action channel
+    (server.FollowerReplayer replays admit/chunk/tick on every host)."""
 
     def __init__(
         self,

@@ -8,28 +8,39 @@ model-parallel collectives line up.
 
 TPU-native version: on a multi-host pod (jax.distributed initialized,
 `jax.process_count() > 1`) the same SPMD engine program runs on every host.
-Host 0 serves HTTP and publishes each request as a fixed-size uint8 payload
-via `multihost_utils.broadcast_one_to_all`; follower hosts block in
-`follower_loop`, decode the identical payload, and issue the same
-`engine.generate(...)` — every host reaches the same jitted computation
-with the same operands, which is all XLA's multi-host collectives need.
+Host 0 serves HTTP and publishes each SCHEDULER ACTION over one ordered
+broadcast channel; follower hosts block in the server's follower loop,
+decode the identical payload, and issue the same engine call — every host
+reaches the same jitted computation with the same operands, which is all
+XLA's multi-host collectives need. Unlike the reference's serial broadcast
+loop (one whole generate per request), the channel carries fine-grained
+continuous-batching actions (admit / prefill-chunk / decode-tick), so the
+slot-pool scheduler runs in lockstep across the pod.
 
-Requests are JSON-serialized (images as base64, same as the wire format in
-inference/server.py), so one codepath covers both the HTTP body and the
-inter-host payload.
+Wire format (two-phase, so a decode tick costs a 64 KiB broadcast instead
+of a fixed multi-MiB slot):
+
+  1. an 8-byte header broadcast: big-endian [json_len:4 | body_len:4]
+  2. a body broadcast of `bucket(body_len)` bytes, where bucket() rounds up
+     to a power-of-two multiple of 64 KiB (bounds the number of distinct
+     broadcast shapes XLA compiles)
+
+The body is the JSON metadata followed by the raw bytes of any numpy
+arrays (dtype/shape recorded in the metadata) — image tile stacks ride the
+channel as bf16 bytes, the reference's NCCL image broadcast
+(tasks/inference/module.py:340-362) without a second codepath.
 """
 from __future__ import annotations
 
 import json
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
 
 import jax
 
-# payload slot size: must be identical on every host (static shape for the
-# broadcast). 64 MiB covers thousands of video frames as base64 JPEG.
-DEFAULT_SLOT_BYTES = 64 * 1024 * 1024
+HEADER_BYTES = 8
+BUCKET_BYTES = 64 * 1024
 SHUTDOWN = {"__ctl__": "shutdown"}
 
 
@@ -37,41 +48,94 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def encode_payload(obj: Any, slot_bytes: int = DEFAULT_SLOT_BYTES) -> np.ndarray:
-    """dict -> fixed-size uint8 array: [4-byte big-endian length | json]."""
-    raw = json.dumps(obj).encode("utf-8")
-    if len(raw) + 4 > slot_bytes:
-        raise ValueError(
-            f"request payload {len(raw)} B exceeds the {slot_bytes} B slot; "
-            "raise slot_bytes on ALL hosts"
+def _bucket(n: int) -> int:
+    size = BUCKET_BYTES
+    while size < n:
+        size *= 2
+    return size
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bf16 et al. register through ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def encode_payload(
+    msg: Any, arrays: Sequence[np.ndarray] = ()
+) -> tuple[np.ndarray, np.ndarray]:
+    """(msg, arrays) -> (header, body) uint8 broadcast buffers."""
+    arrays = [np.ascontiguousarray(a) for a in arrays]
+    meta = {
+        "msg": msg,
+        "arrays": [[a.dtype.name, list(a.shape)] for a in arrays],
+    }
+    raw = json.dumps(meta).encode("utf-8")
+    body_len = len(raw) + sum(a.nbytes for a in arrays)
+    body = np.zeros((_bucket(body_len),), np.uint8)
+    body[: len(raw)] = np.frombuffer(raw, np.uint8)
+    off = len(raw)
+    for a in arrays:
+        body[off : off + a.nbytes] = np.frombuffer(a.tobytes(), np.uint8)
+        off += a.nbytes
+    header = np.zeros((HEADER_BYTES,), np.uint8)
+    header[:4] = np.frombuffer(len(raw).to_bytes(4, "big"), np.uint8)
+    header[4:8] = np.frombuffer(body_len.to_bytes(4, "big"), np.uint8)
+    return header, body
+
+
+def decode_payload(
+    header: np.ndarray, body: np.ndarray
+) -> tuple[Any, list[np.ndarray]]:
+    json_len = int.from_bytes(bytes(header[:4].tobytes()), "big")
+    meta = json.loads(body[:json_len].tobytes().decode("utf-8"))
+    arrays = []
+    off = json_len
+    for dtype_name, shape in meta["arrays"]:
+        dtype = _np_dtype(dtype_name)
+        n = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+        arrays.append(
+            np.frombuffer(body[off : off + n].tobytes(), dtype).reshape(shape)
         )
-    buf = np.zeros((slot_bytes,), np.uint8)
-    buf[:4] = np.frombuffer(len(raw).to_bytes(4, "big"), np.uint8)
-    buf[4 : 4 + len(raw)] = np.frombuffer(raw, np.uint8)
-    return buf
+        off += n
+    return meta["msg"], arrays
 
 
-def decode_payload(buf: np.ndarray) -> Any:
-    n = int.from_bytes(bytes(buf[:4].tobytes()), "big")
-    return json.loads(buf[4 : 4 + n].tobytes().decode("utf-8"))
+def publish_blob(
+    msg: Any, arrays: Sequence[np.ndarray] = ()
+) -> tuple[Any, list[np.ndarray]]:
+    """Broadcast (msg, arrays) from host 0 to all hosts; returns them back
+    (identical on every host). Call with the payload on host 0 and with
+    anything (ignored) on followers — only host 0's value is used.
 
-
-def publish(obj: Any, slot_bytes: int = DEFAULT_SLOT_BYTES) -> Any:
-    """Broadcast a request dict from host 0 to all hosts; returns it back
-    (identical on every host). Call with the request on host 0 and with
-    anything (ignored) on followers — only host 0's value is used."""
+    This is a COLLECTIVE: every host must call it the same number of times
+    in the same order (the server serializes all publishes under one lock).
+    """
     from jax.experimental import multihost_utils
 
-    buf = encode_payload(obj, slot_bytes) if is_primary() else np.zeros(
-        (slot_bytes,), np.uint8
-    )
-    out = multihost_utils.broadcast_one_to_all(buf)
-    return decode_payload(np.asarray(out))
+    if is_primary():
+        header, body = encode_payload(msg, arrays)
+    else:
+        header = np.zeros((HEADER_BYTES,), np.uint8)
+    header = np.asarray(multihost_utils.broadcast_one_to_all(header))
+    body_len = int.from_bytes(bytes(header[4:8].tobytes()), "big")
+    if not is_primary():
+        body = np.zeros((_bucket(body_len),), np.uint8)
+    body = np.asarray(multihost_utils.broadcast_one_to_all(body))
+    return decode_payload(header, body)
+
+
+def publish(obj: Any, slot_bytes: int | None = None) -> Any:
+    """Broadcast a plain JSON-serializable message (no arrays)."""
+    return publish_blob(obj)[0]
 
 
 def follower_loop(
     handle: Callable[[dict], None],
-    slot_bytes: int = DEFAULT_SLOT_BYTES,
+    slot_bytes: int | None = None,
     _publish: Optional[Callable[[Any], Any]] = None,
 ) -> None:
     """Run on every non-primary host: receive each published request and
@@ -86,7 +150,7 @@ def follower_loop(
     the next broadcast/collective would hang every host."""
     import logging
 
-    pub = _publish or (lambda _: publish(None, slot_bytes))
+    pub = _publish or (lambda _: publish(None))
     while True:
         req = pub(None)
         if req == SHUTDOWN:
@@ -99,6 +163,6 @@ def follower_loop(
             )
 
 
-def shutdown(slot_bytes: int = DEFAULT_SLOT_BYTES) -> None:
-    """Primary: release followers from follower_loop."""
-    publish(SHUTDOWN, slot_bytes)
+def shutdown(slot_bytes: int | None = None) -> None:
+    """Primary: release followers from their receive loop."""
+    publish(SHUTDOWN)

@@ -35,6 +35,8 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+import numpy as np
+
 import jax
 
 from long_vita_tpu.inference.engine import InferenceEngine
@@ -124,8 +126,9 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
         try:
             batcher = getattr(self.server, "batcher", None)
             if batcher is not None and not req.get("beam_width"):
-                # single-host micro-batching path: concurrent requests with
-                # the same sampling settings decode together
+                # micro-batching path: concurrent requests with the same
+                # sampling settings decode together; on a pod the batcher
+                # lockstep-publishes its scheduler actions to followers
                 payload = batcher.submit(req)
             else:
                 with self.server.generate_lock:
@@ -135,7 +138,7 @@ class LongVITARequestHandler(BaseHTTPRequestHandler):
                         # (reference text_generation_server.py:25-32)
                         from long_vita_tpu.inference import multihost
 
-                        multihost.publish(req)
+                        multihost.publish_blob({"op": "request", "req": req})
                     payload = execute_request(self.engine, req)
         except Exception as e:  # noqa: BLE001 — surface as 400 like reference
             self._reply(400, str(e), "text/plain")
@@ -281,6 +284,12 @@ def _execute_beam(engine, req, images, videos, max_num_frame, sampling) -> dict:
     }
 
 
+_SAMPLING_FIELDS = (
+    "tokens_to_generate", "temperature", "top_k", "top_p", "random_seed",
+    "logprobs", "stop_on_eol", "stop_on_double_eol",
+)
+
+
 def _sampling_key(req: dict) -> tuple:
     """Requests agreeing on this key may decode as one batch."""
     return (
@@ -293,6 +302,12 @@ def _sampling_key(req: dict) -> tuple:
         bool(req.get("stop_on_eol")),
         bool(req.get("stop_on_double_eol")),
     )
+
+
+def _sampling_fields(req: dict) -> dict:
+    """The sampling-relevant subset of a request — what a follower needs to
+    reconstruct SamplingParams via _parse_sampling (media fields dropped)."""
+    return {k: req[k] for k in _SAMPLING_FIELDS if k in req}
 
 
 def execute_batch(engine: InferenceEngine, reqs: list[dict]) -> list[dict]:
@@ -333,10 +348,14 @@ class RequestBatcher:
     def __init__(
         self, engine: InferenceEngine, max_batch: int = 8,
         window_s: float = 0.02, generate_lock: Optional[threading.Lock] = None,
+        publish=None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_s
+        # lockstep channel to follower hosts on a pod (multihost
+        # publish_blob); None when single-process
+        self._publish = publish
         # shared with the beam/multihost serial path: device work stays
         # one-generation-at-a-time (two concurrent full-size KV caches
         # would blow HBM under load)
@@ -378,6 +397,11 @@ class RequestBatcher:
                     self._queue.remove(entry)
             try:
                 with self.generate_lock:
+                    if self._publish is not None:
+                        # follower hosts run the identical execute_batch
+                        self._publish(
+                            {"op": "batch", "reqs": [e[1] for e in group]}
+                        )
                     payloads = execute_batch(
                         self.engine, [e[1] for e in group]
                     )
@@ -390,6 +414,8 @@ class RequestBatcher:
                 for _, req, box in group:
                     try:
                         with self.generate_lock:
+                            if self._publish is not None:
+                                self._publish({"op": "request", "req": req})
                             box["payload"] = execute_request(self.engine, req)
                     except Exception as exc:  # noqa: BLE001
                         box["error"] = exc
@@ -412,11 +438,18 @@ class ContinuousBatcher:
     def __init__(
         self, engine: InferenceEngine, max_slots: int = 8, tick: int = 16,
         generate_lock: Optional[threading.Lock] = None,
-        start_thread: bool = True,
+        start_thread: bool = True, publish=None,
     ):
         from long_vita_tpu.inference.continuous import ContinuousEngine
 
         self.engine = engine
+        # lockstep channel to follower hosts: every scheduler action that
+        # touches the device (admit / prefill chunk / decode tick /
+        # sampling switch) is published BEFORE the engine call, and
+        # followers replay the identical call (FollowerReplayer) — so the
+        # slot-pool scheduler runs on multi-host pods where the reference
+        # degrades to one-request-at-a-time (text_generation_server.py:25-32)
+        self._publish = publish
         self.generate_lock = generate_lock or threading.Lock()
         self._cv = threading.Condition()
         # one entry per ROW: (key, box, row_index, prompt, req)
@@ -514,13 +547,12 @@ class ContinuousBatcher:
         """Begin the chunked admission of the next queued row, if any."""
         while self._queue:
             key, box, row, prompt, req = self._queue[0]
+            switch_req = None
             if self.ce.active or self.ce.admission_pending:
                 if key != self._key:
                     return False  # drain before switching sampling configs
             elif key != self._key:
-                sampling, _ = _parse_sampling(req, self.engine)
-                self.ce.set_sampling(sampling)
-                self._key = key
+                switch_req = req
             if self.ce.free_slots <= 0:
                 return False
             self._queue.pop(0)
@@ -537,9 +569,45 @@ class ContinuousBatcher:
                     ids, images=images, videos=videos,
                     max_num_frame=max_frames,
                 )
-                rid = self.ce.start_admission(
-                    exp.input_ids, exp.images, exp.image_indices
-                )
+                # normalize tiles to the engine's cache dtype ONCE on the
+                # host, so the published bytes and the locally-admitted
+                # bytes are identical — SPMD replicated operands must agree
+                # bit-for-bit across hosts
+                imgs = exp.images
+                if imgs is None or np.asarray(imgs).shape[0] == 0:
+                    imgs = idx = None
+                else:
+                    imgs = np.asarray(
+                        imgs, np.dtype(self.engine.cache_dtype)
+                    )
+                    idx = np.asarray(exp.image_indices, np.int32)
+                if self._publish is not None:
+                    # publish the EXPANDED arrays (token ids + the tile
+                    # stack in cache dtype), not the raw request: followers
+                    # skip file IO and video decode, and every host admits
+                    # bit-identical operands (the reference's NCCL image
+                    # broadcast, module.py:340-362)
+                    arrs = [np.asarray(exp.input_ids, np.int32)]
+                    if imgs is not None:
+                        arrs += [imgs, idx]
+                    self._publish(
+                        {
+                            "op": "admit",
+                            "sampling": (
+                                _sampling_fields(req)
+                                if switch_req is not None else None
+                            ),
+                            "has_images": imgs is not None,
+                        },
+                        arrs,
+                    )
+                if switch_req is not None:
+                    # sampling switch rides the successful admit (a failed
+                    # expand must leave follower CE state untouched)
+                    sampling, _ = _parse_sampling(switch_req, self.engine)
+                    self.ce.set_sampling(sampling)
+                    self._key = key
+                rid = self.ce.start_admission(exp.input_ids, imgs, idx)
                 self._inflight[rid] = (box, row)
                 self.trace.append("admit")
                 return True
@@ -558,12 +626,16 @@ class ContinuousBatcher:
         with self.generate_lock:
             did = False
             if self.ce.admission_pending:
+                if self._publish is not None:
+                    self._publish({"op": "chunk"})
                 self.ce.admission_step()  # ONE chunk
                 self.trace.append("chunk")
                 did = True
             elif self._start_next_locked():
                 did = True
             if self.ce.active:
+                if self._publish is not None:
+                    self._publish({"op": "tick"})
                 finished = self.ce.step()
                 self.trace.append("tick")
                 self.batch_sizes.append(self.ce.active + len(finished))
@@ -593,10 +665,93 @@ class ContinuousBatcher:
             self.iteration()
 
 
+class FollowerReplayer:
+    """Replays the primary host's published scheduler actions on a follower.
+
+    Every action the primary's batcher/handler takes against the device is
+    published over the lockstep channel BEFORE the engine call; this class
+    issues the identical call here, so both hosts execute the same jitted
+    computations in the same order — which is all XLA's multi-host SPMD
+    collectives need. The scheduler itself (queues, slots, rng) is
+    deterministic host-side state seeded identically on every host, so
+    replaying the action stream reproduces it exactly.
+
+    Beats the reference's pod serving: its server broadcasts one WHOLE
+    generate per request (text_generation_server.py:25-32, strictly
+    serial); this channel carries continuous-batching actions, so the pod
+    keeps slot-pool throughput."""
+
+    def __init__(
+        self, engine: InferenceEngine, *, continuous: bool = False,
+        max_slots: int = 8, tick: int = 16,
+    ):
+        self.engine = engine
+        self.ce = None
+        if continuous:
+            from long_vita_tpu.inference.continuous import ContinuousEngine
+
+            # identical construction to the primary's ContinuousBatcher:
+            # same pool geometry, same rng seed -> same split sequence
+            self.ce = ContinuousEngine(
+                engine, SamplingParams(), max_slots=max_slots, tick=tick
+            )
+        self.finished: dict = {}  # rid -> GenerationResult (for tests)
+
+    def handle(self, msg: dict, arrays=()) -> None:
+        op = msg.get("op") if isinstance(msg, dict) else None
+        if op == "request":
+            execute_request(self.engine, msg["req"])
+        elif op == "batch":
+            execute_batch(self.engine, msg["reqs"])
+        elif op == "admit":
+            if msg.get("sampling") is not None:
+                sp, _ = _parse_sampling(msg["sampling"], self.engine)
+                self.ce.set_sampling(sp)
+            ids = [int(t) for t in np.asarray(arrays[0])]
+            images = indices = None
+            if msg.get("has_images"):
+                images, indices = arrays[1], arrays[2]
+            self.ce.start_admission(ids, images, indices)
+        elif op == "chunk":
+            self.ce.admission_step()
+        elif op == "tick":
+            for rid, res in self.ce.step():
+                self.finished[rid] = res
+        else:
+            raise ValueError(f"unknown lockstep op: {msg!r}")
+
+
+def follower_serve(
+    engine: InferenceEngine, *, continuous: bool = False,
+    max_batch: int = 8, tick: int = 16,
+) -> None:
+    """Run on every non-primary host: replay the primary's action stream.
+    Returns on the shutdown sentinel. Per-action failures are logged and
+    swallowed (the primary fails the same request per-request and keeps
+    serving; a follower that exited would hang the next collective)."""
+    import logging
+
+    from long_vita_tpu.inference import multihost
+
+    replayer = FollowerReplayer(
+        engine, continuous=continuous, max_slots=max_batch, tick=tick
+    )
+    while True:
+        msg, arrays = multihost.publish_blob(None)
+        if msg == multihost.SHUTDOWN:
+            return
+        try:
+            replayer.handle(msg, arrays)
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "follower action replay failed; staying in lockstep"
+            )
+
+
 def make_server(
     engine: InferenceEngine, host: str = "0.0.0.0", port: int = 5001,
     *, max_batch: int = 8, batch_window_s: float = 0.02,
-    continuous: bool = False,
+    continuous: bool = False, tick: int = 16,
 ) -> ThreadingHTTPServer:
     handler = type(
         "BoundHandler", (LongVITARequestHandler,), {"engine": engine}
@@ -604,31 +759,49 @@ def make_server(
     server = ThreadingHTTPServer((host, port), handler)
     server.generate_lock = threading.Lock()  # beam / multihost serial path
     server.batcher = None
-    if max_batch > 1 and jax.process_count() == 1:
+    publish = None
+    if jax.process_count() > 1:
+        from long_vita_tpu.inference import multihost
+
+        publish = multihost.publish_blob
+    if max_batch > 1:
         if continuous:
             server.batcher = ContinuousBatcher(
-                engine, max_slots=max_batch,
-                generate_lock=server.generate_lock,
+                engine, max_slots=max_batch, tick=tick,
+                generate_lock=server.generate_lock, publish=publish,
             )
         else:
             server.batcher = RequestBatcher(
                 engine, max_batch=max_batch, window_s=batch_window_s,
-                generate_lock=server.generate_lock,
+                generate_lock=server.generate_lock, publish=publish,
             )
     return server
 
 
 def run_server(engine: InferenceEngine, host="0.0.0.0", port=5001,
-               continuous: bool = False):
+               continuous: bool = False, max_batch: int = 8,
+               tick: int = 16):
     if jax.process_count() > 1:
         from long_vita_tpu.inference import multihost
 
         if not multihost.is_primary():
-            # follower hosts execute the broadcast requests and discard the
-            # payload (only host 0 answers HTTP); returns on shutdown
-            print(f"host {jax.process_index()}: follower generate loop")
-            multihost.follower_loop(lambda req: execute_request(engine, req))
+            # follower hosts replay the primary's published actions (only
+            # host 0 answers HTTP); returns on shutdown
+            print(f"host {jax.process_index()}: follower replay loop")
+            follower_serve(
+                engine, continuous=continuous, max_batch=max_batch,
+                tick=tick,
+            )
             return
-    server = make_server(engine, host, port, continuous=continuous)
+    server = make_server(
+        engine, host, port, continuous=continuous, max_batch=max_batch,
+        tick=tick,
+    )
     print(f"long-vita-tpu server listening on {host}:{port} (PUT /api)")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        if jax.process_count() > 1:
+            from long_vita_tpu.inference import multihost
+
+            multihost.shutdown()

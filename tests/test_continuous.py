@@ -237,6 +237,82 @@ def test_server_streaming_ndjson(engine):
         server.shutdown()
 
 
+@pytest.mark.slow
+def test_lockstep_replay_matches_primary(engine):
+    """The multi-host serving contract, single-process: a primary
+    ContinuousBatcher publishes its action stream (admit/chunk/tick), and a
+    FollowerReplayer replaying that stream on a second ContinuousEngine
+    reproduces the primary's outputs row-for-row (VERDICT #1 — lockstep
+    scheduler replication; the real 2-process run is
+    test_multicontroller.py::test_two_process_continuous_serving)."""
+    from long_vita_tpu.inference.server import (
+        ContinuousBatcher,
+        FollowerReplayer,
+    )
+
+    actions = []
+    batcher = ContinuousBatcher(
+        engine, max_slots=2, tick=3, start_thread=False,
+        publish=lambda msg, arrs=(): actions.append(
+            (msg, [np.array(a, copy=True) for a in arrs])
+        ),
+    )
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 64), (0, 128, 255)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    reqs = [
+        {"prompts": ["lockstep a"], "tokens_to_generate": 8},
+        {"prompts": ["<image>\nwhat color?"], "image_list": [b64],
+         "tokens_to_generate": 8},
+    ]
+    boxes = [batcher.submit_async(r) for r in reqs]
+    guard = 0
+    while not all(b["event"].is_set() for b in boxes):
+        batcher.iteration()
+        guard += 1
+        assert guard < 300
+    ops = [m["op"] for m, _ in actions]
+    assert ops.count("admit") == 2 and "tick" in ops
+    # the first admit carries the sampling switch; the second (same key)
+    # does not. The image request's tile stack rode the channel as arrays.
+    admits = [m for m, _ in actions if m["op"] == "admit"]
+    assert admits[0]["sampling"] is not None
+    assert admits[1]["sampling"] is None
+    assert [m["has_images"] for m in admits] == [False, True]
+
+    replayer = FollowerReplayer(engine, continuous=True, max_slots=2, tick=3)
+    for msg, arrs in actions:
+        replayer.handle(msg, arrs)
+    assert set(replayer.finished) == {0, 1}  # rids in admission order
+    for rid, box in zip((0, 1), boxes):
+        assert replayer.finished[rid].token_ids == box["rows"][0].token_ids
+
+
+def test_make_server_pod_starts_continuous_batcher(engine, monkeypatch):
+    """On a multi-process pod make_server now starts the batchers with the
+    lockstep channel wired (round-3 gap: server.py disabled BOTH batchers
+    whenever the mesh spanned processes, degrading 1M pod serving to the
+    reference's one-request-at-a-time loop)."""
+    import jax as _jax
+
+    from long_vita_tpu.inference import server as srv
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    s = srv.make_server(engine, host="127.0.0.1", port=0, continuous=True)
+    try:
+        assert isinstance(s.batcher, srv.ContinuousBatcher)
+        from long_vita_tpu.inference import multihost
+
+        assert s.batcher._publish is multihost.publish_blob
+    finally:
+        s.server_close()
+
+
 def test_set_sampling_requires_drained_pool(engine):
     sp = SamplingParams(greedy=True, max_new_tokens=4)
     ce = ContinuousEngine(engine, sp, max_slots=2, tick=2)
