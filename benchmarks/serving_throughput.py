@@ -38,6 +38,127 @@ class _IdTok:
         return R()
 
 
+class _MM:
+    """Minimal multimodal-tokenizer shim for input_ids-only benches."""
+
+    tokenizer = _IdTok()
+
+    def encode_chat(self, messages):  # unused (input_ids given)
+        raise NotImplementedError
+
+    def expand(self, input_ids, images=(), videos=(), labels=None,
+               max_num_frame=None):
+        from long_vita_tpu.data.multimodal import ExpandedInputs
+
+        return ExpandedInputs(list(input_ids), None, None, None)
+
+
+def spec_bench():
+    """Continuous batching with vs without speculative verify ticks on a
+    context-quoting workload (VERDICT round-3 #4: speculation must compose
+    with the serving path that matters).
+
+    Quoting is emulated by drafting the model's own greedy continuation
+    (computed by a plain pass first) — exactly what prompt-lookup achieves
+    when the answer quotes the context, isolated from this bench's random
+    weights (whose argmax continuations are aperiodic, so organic n-gram
+    acceptance here would measure the weights, not the mechanism)."""
+    from long_vita_tpu.utils.compile_cache import enable
+
+    enable()
+    from long_vita_tpu.config import LongVITAConfig, TextConfig
+    from long_vita_tpu.inference.continuous import ContinuousEngine
+    from long_vita_tpu.inference.engine import InferenceEngine
+    from long_vita_tpu.inference.sampler import SamplingParams
+    from long_vita_tpu.models.qwen2 import init_qwen2_params
+    import long_vita_tpu.inference.speculative as sd
+
+    layers, ctx, new_tokens, batch, k = 4, 2048, 128, 4, 8
+    cfg = LongVITAConfig(
+        text=TextConfig(
+            vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+            num_hidden_layers=layers, num_attention_heads=40,
+            num_key_value_heads=8, rope_theta=1e6,
+        ),
+        vision=None,
+    )
+    params = {"text": init_qwen2_params(jax.random.PRNGKey(0), cfg.text,
+                                        jnp.bfloat16)}
+    max_seq = ctx + new_tokens + 64
+    plain = InferenceEngine(params, cfg, _MM(), max_seq_len=max_seq,
+                            chunk=512)
+    spec = InferenceEngine(params, cfg, _MM(), max_seq_len=max_seq,
+                           chunk=512, speculative_k=k)
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(greedy=True, max_new_tokens=new_tokens)
+    prompts = [rng.integers(1, 50000, ctx - 7 * b).tolist()
+               for b in range(batch)]
+
+    def run_pool(engine, tick):
+        ce = ContinuousEngine(engine, sp, max_slots=batch, tick=tick)
+        rids = [ce.add_request(p) for p in prompts]
+        t0 = time.time()
+        done = dict(ce.run_to_completion())
+        dt = time.time() - t0
+        toks = sum(len(done[r].token_ids) for r in rids)
+        return toks, dt, done, rids
+
+    # plain pool: warm compile, then the timed run
+    run_pool(plain, tick=k)
+    toks_p, dt_p, done_p, rids_p = run_pool(plain, tick=k)
+    log(f"plain pool: {toks_p} tokens in {dt_p:.2f}s -> "
+        f"{toks_p/dt_p:.1f} tok/s aggregate")
+
+    # oracle drafts = the model's own continuation per prompt (dict-keyed
+    # by prompt head; what prompt-lookup returns on quoting workloads).
+    # bf16 verify-step numerics on RANDOM weights flip low-margin argmaxes
+    # vs the single-token path (the CPU f32 parity tests are the exactness
+    # oracle), so the draft corpus iterates to the SPEC pool's own fixed
+    # point: full acceptance along its own trajectory, which is what a
+    # quoting workload delivers. Agreement with the plain pool is logged
+    # as a diagnostic.
+    def make_oracle(done, rids):
+        full = {}
+        for p, rid in zip(prompts, rids):
+            h = np.concatenate([p, done[rid].token_ids]).astype(np.int32)
+            full[tuple(p[:16])] = h
+
+        def oracle(history, kk, ngram_max=3):
+            h = full.get(tuple(int(t) for t in history[:16]))
+            if h is None:
+                return np.empty(0, np.int32)
+            return h[len(history):len(history) + kk]
+
+        return oracle
+
+    real_draft = sd.draft_tokens
+    try:
+        sd.draft_tokens = make_oracle(done_p, rids_p)
+        out1 = run_pool(spec, tick=k)  # warm verify compile + trajectory 1
+        sd.draft_tokens = make_oracle(out1[2], out1[3])
+        out2 = run_pool(spec, tick=k)  # fixed-point trajectory
+        sd.draft_tokens = make_oracle(out2[2], out2[3])
+        spec._spec_steps = 0
+        toks_s, dt_s, done_s, rids_s = run_pool(spec, tick=k)
+    finally:
+        sd.draft_tokens = real_draft
+    agree = sum(
+        done_p[rp].token_ids == done_s[rs].token_ids
+        for rp, rs in zip(rids_p, rids_s)
+    )
+    log(f"speculative pool (k={k}, oracle drafts): {toks_s} tokens in "
+        f"{dt_s:.2f}s -> {toks_s/dt_s:.1f} tok/s aggregate "
+        f"({spec._spec_steps} verify steps; {agree}/{batch} rows "
+        f"bit-match plain — bf16 flips on random weights expected)")
+    print(json.dumps({
+        "metric": "continuous_spec_tok_s_slice",
+        "plain": round(toks_p / dt_p, 1),
+        "speculative": round(toks_s / dt_s, 1),
+        "speedup": round((toks_s / dt_s) / (toks_p / dt_p), 2),
+        "k": k, "batch": batch, "ctx": ctx,
+    }))
+
+
 def main():
     from long_vita_tpu.utils.compile_cache import enable
 
@@ -58,18 +179,6 @@ def main():
     )
     params = {"text": init_qwen2_params(jax.random.PRNGKey(0), cfg.text,
                                         jnp.bfloat16)}
-
-    class _MM:
-        tokenizer = _IdTok()
-
-        def encode_chat(self, messages):  # unused (input_ids given)
-            raise NotImplementedError
-
-        def expand(self, input_ids, images=(), videos=(), labels=None,
-                   max_num_frame=None):
-            from long_vita_tpu.data.multimodal import ExpandedInputs
-
-            return ExpandedInputs(list(input_ids), None, None, None)
 
     engine = InferenceEngine(
         params, cfg, _MM(), max_seq_len=ctx + new_tokens + 64, chunk=512,
@@ -100,4 +209,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--speculative" in sys.argv:
+        spec_bench()
+    else:
+        main()

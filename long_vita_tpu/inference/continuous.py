@@ -199,7 +199,17 @@ class ContinuousEngine:
 
     def step(self) -> list[tuple[int, GenerationResult]]:
         """Decode one tick for every active slot; returns finished
-        (request_id, result) pairs and frees their slots."""
+        (request_id, result) pairs and frees their slots.
+
+        With the engine's prompt-lookup speculation on (speculative_k > 0)
+        and greedy sampling, a tick is ONE batched verify step instead of
+        `tick` single-token reads: each slot proposes k-1 n-gram drafts
+        from its own history, the pool verifies them in one cache read,
+        and each row emits 1..k tokens (accepted prefix + bonus). Outputs
+        stay bit-identical to the plain path (losslessness contract,
+        inference/speculative.py); context-quoting workloads get the
+        ~(accepted+1)x tokens-per-cache-read win in the serving mode that
+        matters."""
         finished: list[tuple[int, GenerationResult]] = []
         # rows already past their first-token stop finish without decoding
         for i, s in enumerate(self.slots):
@@ -211,6 +221,19 @@ class ContinuousEngine:
         active_mask = np.asarray([s is not None for s in self.slots])
         if not active_mask.any():
             return finished
+
+        k = self.engine.speculative_k
+        if (
+            k > 0
+            and self.sampling.greedy
+            # every active row needs k free cache rows for a verify step;
+            # near capacity fall back to the plain per-token tick
+            and all(
+                int(self.lengths[i]) + k <= self.cache.k.shape[2]
+                for i, s in enumerate(self.slots) if s is not None
+            )
+        ):
+            return finished + self._step_speculative()
 
         self.rng, sub = jax.random.split(self.rng)
         cache = KVCache(
@@ -263,6 +286,93 @@ class ContinuousEngine:
                 self.cur_tokens[i] = int(row[self.tick - 1])
                 if s.remaining <= 0 or (
                     self.lengths[i] >= self.engine.max_seq_len - 1
+                ):
+                    finished.append(self._finish(i, s))
+                    self.slots[i] = None
+        return finished
+
+    def _step_speculative(self) -> list[tuple[int, GenerationResult]]:
+        """One batched verify step for every active slot (greedy only).
+
+        Cache discipline per row (same frontier rule as the solo path,
+        inference/speculative.py): the verify writes k rows at the row's
+        frontier; step[0..j] (pending token + j accepted drafts) have valid
+        kv, so lengths advances j+1 and the rejected tail stays masked
+        garbage, overwritten by the next verify. The emitted bonus token
+        outs[j] becomes the row's pending cur_token (kv not yet written) —
+        identical bookkeeping to the plain tick's last-sampled token."""
+        from long_vita_tpu.inference.speculative import draft_tokens
+
+        k = self.engine.speculative_k
+        eos = self.engine.eos_id
+        step_mat = np.full((self.max_slots, k), eos, np.int32)
+        n_drafts = np.zeros(self.max_slots, np.int32)
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            step_mat[i, 0] = self.cur_tokens[i]
+            hist = np.concatenate([
+                np.asarray(s.prompt_ids, np.int32),
+                np.asarray(s.tokens, np.int32),
+            ])
+            drafts = draft_tokens(hist, k - 1)
+            step_mat[i, 1 : 1 + len(drafts)] = drafts
+            n_drafts[i] = len(drafts)
+
+        cache = KVCache(
+            self.cache.k, self.cache.v, jnp.asarray(self.lengths),
+            k_scale=self.cache.k_scale, v_scale=self.cache.v_scale,
+        )
+        outs, olps, cache = self.engine._verify_step(
+            self.engine.params, jnp.asarray(step_mat),
+            jnp.asarray(self.lengths[:, None]), cache,
+        )
+        self.engine._spec_steps += 1
+        self.cache = KVCache(
+            cache.k, cache.v, self.cache.length,
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
+        outs = np.asarray(outs)
+        olps = np.asarray(olps)
+
+        finished: list[tuple[int, GenerationResult]] = []
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            # accept drafts while they equal the model's own argmax
+            j = 0
+            while j < int(n_drafts[i]) and step_mat[i, j + 1] == outs[i, j]:
+                j += 1
+            # kv rows step[0..j] are valid; bonus outs[j] is emitted, unfed
+            self.lengths[i] += j + 1
+            self.cur_tokens[i] = int(outs[i, j])
+            emitted = [int(t) for t in outs[i, : j + 1]]
+            emit_lps = [float(x) for x in olps[i, : j + 1]]
+            take = min(len(emitted), s.remaining)
+            stop_at = next(
+                (m for m, t in enumerate(emitted[:take])
+                 if t in self._stop_set),
+                None,
+            )
+            if stop_at is not None:
+                kept = emitted[:stop_at]
+                s.tokens += kept
+                s.logprobs += emit_lps[:stop_at]
+                if self.on_tokens is not None and kept:
+                    self.on_tokens(s.request_id, kept)
+                # every kept token was fed (only the bonus is unfed, and a
+                # stop at the bonus keeps strictly fewer tokens)
+                finished.append(self._finish(i, s, all_fed=True))
+                self.slots[i] = None
+            else:
+                kept = emitted[:take]
+                s.tokens += kept
+                s.logprobs += emit_lps[:take]
+                if self.on_tokens is not None and kept:
+                    self.on_tokens(s.request_id, kept)
+                s.remaining -= take
+                if s.remaining <= 0 or (
+                    int(self.lengths[i]) >= self.engine.max_seq_len - 1
                 ):
                     finished.append(self._finish(i, s))
                     self.slots[i] = None

@@ -467,21 +467,20 @@ def _attention_block(
             new_cache_kv = (ck_full, cv_full, ks_full, vs_full)
         else:
             if cache_len.ndim == 1:
-                # Ragged batched decode: each row's tokens stay contiguously
-                # packed, so the new token scatters at that row's frontier
-                # and the plain causal mask (slot index vs per-row q
-                # position) excludes the garbage beyond it.
-                if s != 1:
-                    raise ValueError(
-                        "per-row cache lengths only support 1-token steps"
-                    )
+                # Ragged batched decode / batched speculative verify: each
+                # row's tokens stay contiguously packed, so the s new
+                # tokens scatter at that row's own frontier and the plain
+                # causal mask (slot index vs per-row q position) excludes
+                # the garbage beyond it.
                 bidx = jnp.arange(b)
 
                 def row_write(buf, new):
                     # rows past capacity keep stepping (engine masks their
-                    # output to eos); clamp so the scatter stays in bounds
-                    idx = jnp.minimum(cache_len, buf.shape[2] - 1)
-                    return buf.at[layer_idx, bidx, idx].set(new[:, 0])
+                    # output to eos); their out-of-bounds writes drop
+                    idx = cache_len[:, None] + jnp.arange(s)[None]  # [B, s]
+                    return buf.at[layer_idx, bidx[:, None], idx].set(
+                        new, mode="drop"
+                    )
 
                 if quant:
                     ks_full = row_write(ks_full, k_sc)

@@ -125,24 +125,20 @@ def _shard_update(cache_shard, new_rows, layer_idx, cache_len, axis_name):
     c = cache_shard.shape[2]
     s = new_rows.shape[1]
     if getattr(cache_len, "ndim", 0) == 1:
-        if s != 1:
-            raise ValueError(
-                "per-row cp cache writes support 1-token steps only"
-            )
+        # [B] frontiers: each row writes its s tokens at its OWN offset
+        # (ragged batched decode s=1; batched speculative verify s=k).
+        # Rows/tokens whose slot lies in another rank's shard keep this
+        # shard untouched; a row's block may straddle the boundary, in
+        # which case each rank takes its overlapping tokens.
         b = new_rows.shape[0]
         bidx = jnp.arange(b)
-        off = cache_len - r * c  # [B] local slot per row
-        offc = jnp.clip(off, 0, c - 1)
-        valid = jnp.logical_and(off >= 0, off < c)
-        layer = jax.lax.dynamic_index_in_dim(
-            cache_shard, layer_idx, keepdims=False
-        )  # [B, C, H, ...]
-        cur = layer[bidx, offc]  # [B, H, ...]
-        val = jnp.where(
-            valid[:, None, None], new_rows[:, 0].astype(cache_shard.dtype),
-            cur,
+        off = cache_len[:, None] + jnp.arange(s)[None] - r * c  # [B, s]
+        # negative offsets (slot in an earlier rank's shard) remap to c so
+        # scatter mode="drop" discards them; >= c offsets are dropped as-is
+        offd = jnp.where(off >= 0, off, c)
+        return cache_shard.at[layer_idx, bidx[:, None], offd].set(
+            new_rows.astype(cache_shard.dtype), mode="drop"
         )
-        return cache_shard.at[layer_idx, bidx, offc].set(val)
     off = cache_len - r * c  # intended local offset (may be outside [0, c-s])
     offc = jnp.clip(off, 0, c - s)
     # local slot offc+i should receive new_rows[offc+i - off]
