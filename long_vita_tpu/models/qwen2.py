@@ -854,7 +854,12 @@ def _pipelined_decoder(
             )
             return (x, aux + aux_l), None
 
-        if remat:
+        # per-layer remat for the GPipe path ONLY: the interleaved
+        # schedule remats at the TICK level instead (remat_policy below)
+        # so the traced-index chunk slice is recomputed in backward
+        # rather than stacked per tick as a scan residual — nesting both
+        # would replay each layer's forward twice
+        if remat and v == 1:
             layer_body = jax.checkpoint(layer_body, policy=_remat_policy(remat))
         (x, aux), _ = jax.lax.scan(layer_body, (t["x"], t["aux"]), stage_layers)
         return {**t, "x": x, "aux": aux}
@@ -871,7 +876,8 @@ def _pipelined_decoder(
         # all-gather the entire weight stack per chip every step
         # (102.6 GB at 72B tp8xpp8 v2, benchmarks/aot_fullscale.py).
         apply = lambda ls, mb_: pipeline_apply_interleaved(
-            ls, mb_, stage_body, parallel.axis_pp, virtual=v
+            ls, mb_, stage_body, parallel.axis_pp, virtual=v,
+            remat_policy=_remat_policy(remat) if remat else None,
         )
     else:
         apply = lambda ls, mb_: pipeline_apply(

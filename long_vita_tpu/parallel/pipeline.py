@@ -122,6 +122,7 @@ def pipeline_apply_interleaved(
     body_fn: Callable[[Params, Any], Any],
     axis_name: str = "pp",
     virtual: int = 2,
+    remat_policy: Any = None,
 ) -> Any:
     """Interleaved (virtual-chunk) pipeline: the reference gets this from
     Megatron core's interleaved 1F1B schedule (SURVEY.md §2b,
@@ -178,26 +179,45 @@ def pipeline_apply_interleaved(
     )
     outputs = jax.tree.map(lambda x: _pvary(jnp.zeros_like(x)), microbatches)
 
-    # Chunk selection is a lax.switch over `virtual` branches, each closing
-    # over a STATIC slice of the (loop-invariant) stage stack. A
-    # dynamic_slice at the traced chunk index instead makes autodiff stack
-    # per-tick copies of the sliced weights as scan residuals — one full
-    # chunk per tick (23 ticks x ~1.1 GB at 72B tp8xpp8 v2 = +26 GB/chip
-    # vs GPipe, which reads the invariant stage params directly). Static
-    # slices of an invariant hoist out of the loop, the backward re-selects
-    # by the (recomputable) chunk index, and — unlike wrapping the tick in
-    # jax.checkpoint — the existing per-layer remat policy inside body_fn
-    # stays in charge of activation residuals.
-    def _chunk_branch(c):
-        chunk = jax.tree.map(
-            lambda p: jax.lax.slice_in_dim(
-                p, c * l_chunk, (c + 1) * l_chunk, axis=0
+    # Chunk selection must live INSIDE a remat boundary whose input is the
+    # loop-invariant full stage stack. Any selected-chunk value that
+    # reaches backward as a residual gets stacked per scan tick — measured
+    # at 72B tp8xpp8 v2 (benchmarks/aot_fullscale.py): a dynamic_slice at
+    # the traced chunk index stacked 23 x ~1.1 GB sliced-weight copies
+    # (+26 GB/chip), and a lax.switch over static slices STILL stacked the
+    # switch OUTPUT per tick because the per-layer jax.checkpoint inside
+    # body_fn saves its weight inputs (bf16[23,5,8192,3696]... in the HLO).
+    # With remat_policy set, the whole tick (select + body) is one
+    # jax.checkpoint: its residuals are the full stage stack (invariant ->
+    # hoisted by scan partial-eval, no copy), the scalar chunk index, the
+    # tick input, and the policy-named activations; the backward re-slices
+    # and replays the chunk forward once. Callers must then DISABLE
+    # per-layer remat inside body_fn — nesting both would recompute the
+    # forward twice.
+    def _select_chunk(c):
+        return jax.tree.map(
+            lambda p: jax.lax.dynamic_slice_in_dim(
+                p, c * l_chunk, l_chunk, axis=0
             ),
             stage_params,
         )
-        return lambda x: body_fn(chunk, x)
 
-    branches = [_chunk_branch(c) for c in range(virtual)]
+    if remat_policy is not None:
+        def _tick(c, x):
+            return body_fn(_select_chunk(c), x)
+
+        run_tick = jax.checkpoint(_tick, policy=remat_policy)
+    else:
+        # no remat: static slices of the invariant hoist out of the loop
+        branches = [
+            (lambda c: lambda x: body_fn(jax.tree.map(
+                lambda p: jax.lax.slice_in_dim(
+                    p, c * l_chunk, (c + 1) * l_chunk, axis=0
+                ), stage_params,
+            ), x))(c)
+            for c in range(virtual)
+        ]
+        run_tick = lambda c, x: jax.lax.switch(c, branches, x)
 
     def step_fn(carry, t):
         ring, outputs = carry
@@ -214,7 +234,7 @@ def pipeline_apply_interleaved(
             lambda mb, r: jnp.where(ingest, mb[mb_cl], r),
             microbatches, ring,
         )
-        y = jax.lax.switch(c_idx, branches, x_in)
+        y = run_tick(c_idx, x_in)
 
         emit = jnp.logical_and(
             valid,
