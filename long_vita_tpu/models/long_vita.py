@@ -237,6 +237,7 @@ def long_vita_forward(
     parallel=None,
     return_aux: bool = False,
     freeze_vision: bool = False,
+    head: bool = True,
 ):
     """Full VLM forward.
 
@@ -245,9 +246,14 @@ def long_vita_forward(
     and gpt_vl_model.py:371-382): gather the M supervised/needed rows before
     the vocab GEMM so the [S, vocab] tensor never materializes at S=1M.
 
-    Returns (logits [B, S or M, vocab] f32, updated kv cache).
+    head=False skips the vocab GEMM and returns the (gathered) hidden rows
+    instead of logits — the vocab-parallel loss (training/loss.py
+    vocab_parallel_ce) fuses the GEMM into a tp-sharded CE so the lm_head
+    weight is never all-gathered.
+
+    Returns (logits [B, S or M, vocab] f32 — or hidden rows when
+    head=False, updated kv cache).
     """
-    inputs_embeds = qwen2.embed_tokens(params["text"], input_ids)
     # pin the training-forward activation layout ONCE: batch over dp, seq
     # over cp x tp (Megatron sequence parallelism over the tp group —
     # reference tensor_parallel/layers.py:389-484). GSPMD usually
@@ -255,6 +261,7 @@ def long_vita_forward(
     # seed a cp-only layout, un-sharding the 48-layer remat stack over
     # tp: +52 GB/chip at 1M, caught by aot_fullscale --case train-mm.
     constrain = None
+    vp_embed = False
     if parallel is not None and kv_cache is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -263,6 +270,25 @@ def long_vita_forward(
             P(parallel.axis_dp, (parallel.axis_cp, parallel.axis_tp), None),
         )
         constrain = lambda x: jax.lax.with_sharding_constraint(x, _sp)
+        shape = parallel.mesh.shape
+        cptp = (
+            shape.get(parallel.axis_cp, 1) * shape.get(parallel.axis_tp, 1)
+        )
+        # vocab-parallel lookup (reference VocabParallelEmbedding + SP):
+        # the embed table stays tp-sharded; output lands in the SP layout
+        vp_embed = (
+            shape.get(parallel.axis_tp, 1) > 1
+            and shape.get("pp", 1) == 1
+            and input_ids.shape[1] % cptp == 0
+            and input_ids.shape[0] % shape.get(parallel.axis_dp, 1) == 0
+        )
+    if vp_embed:
+        inputs_embeds = qwen2.embed_tokens_vp(
+            params["text"], input_ids, parallel
+        )
+    else:
+        inputs_embeds = qwen2.embed_tokens(params["text"], input_ids)
+    if constrain is not None:
         inputs_embeds = constrain(inputs_embeds)
     if images is not None:
         # freeze_vision (stage-3/4): no gradient flows into the tower, so
@@ -325,7 +351,7 @@ def long_vita_forward(
             hidden = jnp.take_along_axis(
                 hidden, logit_positions[:, :, None], axis=1
             )
-    logits = qwen2.lm_head(params["text"], hidden)
+    logits = qwen2.lm_head(params["text"], hidden) if head else hidden
     if return_aux:
         return logits, new_cache, aux
     return logits, new_cache

@@ -905,6 +905,48 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed"]["embedding"][input_ids]
 
 
+def embed_tokens_vp(
+    params: Params, input_ids: jnp.ndarray, parallel: "ParallelConfig"
+) -> jnp.ndarray:
+    """Vocab-parallel embedding lookup + sequence-parallel reduce-scatter.
+
+    The reference's VocabParallelEmbedding (tensor_parallel/layers.py:151)
+    + Megatron SP: each tp rank looks up the ids that fall in its vocab
+    shard (zeros elsewhere) and the partial rows psum-scatter over tp
+    along the sequence — the [152k, H] table is never all-gathered (it was
+    the largest collective in the stage-4 text artifact: a 778M-element /
+    1.56 GB bf16 gather per micro-step). Output lands directly in the
+    training SP layout [B@dp, S@(cp,tp), H]; values are bit-identical to
+    the plain lookup (each position sums one real row + zeros).
+
+    Requires S % (cp*tp) == 0 and B % dp == 0 — callers guard and fall
+    back to embed_tokens."""
+    from jax.sharding import PartitionSpec as P
+
+    axis_tp, axis_cp, axis_dp = (
+        parallel.axis_tp, parallel.axis_cp, parallel.axis_dp,
+    )
+
+    def body(table, ids):
+        tp_i = jax.lax.axis_index(axis_tp)
+        vloc = table.shape[0]
+        loc = ids - tp_i * vloc
+        ok = jnp.logical_and(loc >= 0, loc < vloc)
+        rows = table[jnp.clip(loc, 0, vloc - 1)]
+        rows = jnp.where(ok[..., None], rows, 0)
+        return jax.lax.psum_scatter(
+            rows, axis_tp, scatter_dimension=1, tiled=True
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=parallel.mesh,
+        in_specs=(P(axis_tp, None), P(axis_dp, axis_cp)),
+        out_specs=P(axis_dp, (axis_cp, axis_tp), None),
+        check_vma=False,
+    )(params["embed"]["embedding"], input_ids)
+
+
 def lm_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project hidden states to vocab logits (f32 for stable sampling/loss)."""
     return jnp.einsum(

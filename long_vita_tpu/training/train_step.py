@@ -30,7 +30,7 @@ from long_vita_tpu.models.long_vita import long_vita_forward
 from long_vita_tpu.models.qwen2 import ParallelConfig
 from long_vita_tpu.parallel.mesh import AXIS_CP, AXIS_DP
 from long_vita_tpu.parallel.sharding import long_vita_param_specs
-from long_vita_tpu.training.loss import cross_entropy
+from long_vita_tpu.training.loss import cross_entropy, vocab_parallel_ce
 
 Params = dict[str, Any]
 
@@ -56,6 +56,7 @@ def loss_fn(
     vision_chunk: int = 0,
     freeze_vision: bool = False,
     freeze_text: bool = False,
+    vocab_parallel: Optional[bool] = None,
 ):
     if freeze_text:
         # the reference freezes via requires_grad=False, which SKIPS the
@@ -65,7 +66,21 @@ def loss_fn(
         # stop_gradient prunes those transposes at trace time while
         # activation grads still flow THROUGH the decoder to the projector.
         params = {**params, "text": jax.lax.stop_gradient(params["text"])}
-    logits, _, aux = long_vita_forward(
+    # vocab-parallel budget-row loss (reference vocab-parallel CE,
+    # core/tensor_parallel/layers.py:151): on tp>1 training meshes the
+    # logits GEMM fuses into a tp-sharded shard_map so the [H, 152k]
+    # lm_head weight is never all-gathered (it was the largest remaining
+    # collective in the stage-4 text artifact, PERF.md). pp meshes keep
+    # the plain head (the pipeline owns the last-stage loss layout).
+    if vocab_parallel is None:  # auto (tests may force either path)
+        vocab_parallel = (
+            parallel is not None
+            and parallel.mesh.shape.get("pp", 1) == 1
+            and parallel.mesh.shape.get(parallel.axis_tp, 1) > 1
+            and batch["logit_positions"].shape[1]
+            % parallel.mesh.shape.get(parallel.axis_cp, 1) == 0
+        )
+    out, _, aux = long_vita_forward(
         params,
         batch["tokens"],
         batch["positions"],
@@ -79,8 +94,15 @@ def loss_fn(
         parallel=parallel,
         return_aux=True,
         freeze_vision=freeze_vision,
+        head=not vocab_parallel,
     )
-    loss_sum, count = cross_entropy(logits, batch["labels"])
+    if vocab_parallel:
+        loss_sum, count = vocab_parallel_ce(
+            params["text"]["lm_head"]["kernel"], out, batch["labels"],
+            parallel,
+        )
+    else:
+        loss_sum, count = cross_entropy(out, batch["labels"])
     loss = loss_sum / jnp.maximum(count, 1.0)
     if cfg.text.num_experts > 0:
         # MoE load-balancing term (Switch aux loss; reference

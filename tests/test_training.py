@@ -615,6 +615,58 @@ def test_cp_sharded_grads_match_unsharded():
         )
 
 
+def test_vocab_parallel_loss_matches_plain_head():
+    """vocab_parallel_ce (tp-sharded budget-row logits GEMM + CE, no
+    lm_head all-gather — VERDICT round-3 #6) reproduces the plain
+    gather-then-lm_head loss AND its grads on the same mesh."""
+    from long_vita_tpu.models.qwen2 import ParallelConfig
+    from long_vita_tpu.parallel.mesh import make_mesh
+    from long_vita_tpu.parallel.zigzag import (
+        inverse_zigzag_permutation,
+        zigzag_permute,
+    )
+    from long_vita_tpu.training.train_step import loss_fn
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    rng = np.random.default_rng(4)
+    seq, budget, cp = 128, 32, 2
+    tokens = rng.integers(0, cfg.text.vocab_size, size=(1, seq))
+    pos = np.broadcast_to(np.arange(seq), (1, seq)).copy()
+    logit_positions = np.linspace(4, seq - 2, budget).astype(np.int32)[None]
+    labels = tokens[0][logit_positions + 1].astype(np.int32)
+    # mask some rows: IGNORE_INDEX handling must agree between the paths
+    labels[0, ::5] = -100
+    mesh = make_mesh(MeshConfig(dp=1, cp=cp, tp=2), devices=jax.devices()[:4])
+    inv = inverse_zigzag_permutation(seq, cp)
+    batch = {
+        "tokens": zigzag_permute(jnp.asarray(tokens), cp),
+        "positions": zigzag_permute(jnp.asarray(pos), cp),
+        "segment_ids": zigzag_permute(jnp.zeros((1, seq), jnp.int32), cp),
+        "logit_positions": jnp.asarray(inv)[jnp.asarray(logit_positions)],
+        "labels": jnp.asarray(labels),
+        "images": None, "image_indices": None,
+    }
+    par = ParallelConfig(mesh)
+
+    def run(vp):
+        return jax.jit(jax.value_and_grad(
+            lambda p, b: loss_fn(
+                p, b, cfg, par, True, 0, False, False, vp
+            )[0]
+        ))(params, batch)
+
+    loss_plain, g_plain = run(False)
+    loss_vp, g_vp = run(True)
+    np.testing.assert_allclose(
+        np.asarray(loss_vp), np.asarray(loss_plain), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_vp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2e-5
+        )
+
+
 def test_checkpoint_layer_layout_guard(tmp_path):
     """Interleaved-pp checkpoints record their chunk-major layer layout:
     same-geometry resume restores directly, a mismatched-geometry
