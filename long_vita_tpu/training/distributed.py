@@ -71,6 +71,29 @@ def maybe_initialize() -> bool:
     return False
 
 
+def _dp_rows_by_process(mesh: Mesh, global_batch: int) -> dict:
+    """process index -> [start, stop) dp-row ownership, computable on
+    EVERY host from the mesh alone (Device.process_index)."""
+    dp = mesh.shape.get("dp", 1)
+    if global_batch % dp:
+        raise ValueError(f"global_batch {global_batch} % dp {dp} != 0")
+    rows_per = global_batch // dp
+    dev_arr = np.asarray(mesh.devices)
+    by_proc: dict = {}
+    for idx, d in np.ndenumerate(dev_arr):
+        by_proc.setdefault(d.process_index, set()).add(idx[0])
+    out = {}
+    for p, dps in by_proc.items():
+        lo, hi = min(dps), max(dps)
+        if sorted(dps) != list(range(lo, hi + 1)):
+            raise ValueError(
+                f"non-contiguous dp ownership {sorted(dps)} for process "
+                f"{p}; reorder the mesh"
+            )
+        out[p] = (lo * rows_per, (hi + 1) * rows_per)
+    return out
+
+
 def process_dp_rows(mesh: Mesh, global_batch: int) -> tuple[int, int]:
     """[start, stop) of the global batch rows this process feeds.
 
@@ -78,25 +101,11 @@ def process_dp_rows(mesh: Mesh, global_batch: int) -> tuple[int, int]:
     every dp index any of its addressable devices sits on (contiguous by
     mesh construction — jax.devices() orders processes along the leading
     axes)."""
-    dp = mesh.shape.get("dp", 1)
-    if global_batch % dp:
-        raise ValueError(f"global_batch {global_batch} % dp {dp} != 0")
-    rows_per = global_batch // dp
-    dev_arr = np.asarray(mesh.devices)
-    local = {d.id for d in jax.local_devices()}
-    dp_indices = sorted({
-        idx[0]
-        for idx, d in np.ndenumerate(dev_arr)
-        if d.id in local
-    })
-    if not dp_indices:
+    ranges = _dp_rows_by_process(mesh, global_batch)
+    me = jax.process_index()
+    if me not in ranges:
         raise ValueError("this process owns no devices on the mesh")
-    lo, hi = dp_indices[0], dp_indices[-1]
-    if dp_indices != list(range(lo, hi + 1)):
-        raise ValueError(
-            f"non-contiguous dp ownership {dp_indices}; reorder the mesh"
-        )
-    return lo * rows_per, (hi + 1) * rows_per
+    return ranges[me]
 
 
 def _globalize_images(
@@ -106,16 +115,25 @@ def _globalize_images(
     row_start: int,
     seq_len: int,
 ):
-    """Assemble the global tile stack from per-host tile stacks.
+    """Prepare this host's tile block for the SHARDED global tile stack.
 
-    Tile counts differ per host (tiling is content-dependent), so each
-    host pads its stack to the max count, the stacks concatenate across
-    processes (process_allgather), and the padding tiles carry
-    OUT-OF-RANGE scatter positions — merge_image_embeddings' scatter
-    drops them (JAX scatter OOB semantics), so they never touch the
-    embeds. image_indices[0] is rewritten from host-local to global batch
-    rows. Returns (global_images, global_indices) as host arrays, or
-    (None, None) when NO host has tiles this step.
+    Tile counts differ per host (tiling is content-dependent). Each host
+    pads its stack to one common block size (global max count, rounded up
+    to its local device count) and contributes it as its shard of a
+    dim-0-device-sharded global array — tile PIXELS never cross hosts and
+    no host ever holds the full stack (round-3 gap: the old path
+    process_allgathered ~9.6 GB f32 to EVERY host at 4096 frames; now a
+    16-host pod holds ~616 MB/host and allgathers only counts + scatter
+    indices, ~8 MB). The reference broadcasts the full image tensor over
+    NCCL per step (training/utils.py:457-481) — don't be worse at scale.
+
+    Padding tiles carry OUT-OF-RANGE scatter positions —
+    merge_image_embeddings' scatter drops them (JAX scatter OOB
+    semantics), so they never touch the embeds. image_indices[0] is
+    rewritten from host-local to global batch rows.
+
+    Returns (local_block [block, H, W, C], global_indices [2, N_glob, T])
+    as host arrays, or (None, None) when NO host has tiles this step.
     """
     from jax.experimental import multihost_utils as mh
 
@@ -141,7 +159,11 @@ def _globalize_images(
         images = np.zeros((0, h, w, c), images.dtype)
         image_indices = np.zeros((2, 0, t), np.int32)
     image_indices[0] += row_start  # host-local -> global batch rows
-    pad = maxc - images.shape[0]
+    # equal per-host blocks, divisible by the local device count, so the
+    # global array shards evenly over every device
+    ldc = jax.local_device_count()
+    block = -(-maxc // ldc) * ldc
+    pad = block - images.shape[0]
     if pad:
         images = np.pad(
             images, ((0, pad),) + ((0, 0),) * (images.ndim - 1)
@@ -151,13 +173,13 @@ def _globalize_images(
         pad_idx = np.zeros((2, pad, image_indices.shape[2]), np.int32)
         pad_idx[1] = seq_len
         image_indices = np.concatenate([image_indices, pad_idx], axis=1)
-    g_images = np.asarray(mh.process_allgather(images, tiled=True))
-    # indices gather along the tile axis: [2, N, T] -> [N, 2, T] -> concat
+    # indices are tiny (int32 [2, N, T]); gather them replicated along the
+    # tile axis: [2, N, T] -> [N, 2, T] -> concat -> transpose back
     g_idx = np.asarray(mh.process_allgather(
         np.transpose(image_indices, (1, 0, 2)), tiled=True
     ))
     g_idx = np.transpose(g_idx, (1, 0, 2))
-    return g_images, g_idx
+    return images, g_idx
 
 
 def make_global_batch(
@@ -177,19 +199,23 @@ def make_global_batch(
             continue
         sh = NamedSharding(mesh, P("dp", *([None] * (np.ndim(v) - 1))))
         out[key] = jax.make_array_from_process_local_data(sh, np.asarray(v))
-    g_images, g_idx = _globalize_images(
+    local_block, g_idx = _globalize_images(
         local_batch.get("images"), local_batch.get("image_indices"),
         mesh, row_start, seq_len,
     )
-    if g_images is None:
+    if local_block is None:
         out["images"] = out["image_indices"] = None
     else:
-        rep = NamedSharding(mesh, P())
+        # global tile stack sharded dim-0 over EVERY mesh device: each
+        # process contributes exactly its local block, so tile pixels
+        # never leave their host (encode_images' tile-shard_map consumes
+        # this layout directly)
+        tile_sharding = NamedSharding(mesh, P(mesh.axis_names))
         out["images"] = jax.make_array_from_process_local_data(
-            rep, g_images.astype(np.float32)
+            tile_sharding, local_block.astype(np.float32)
         )
         out["image_indices"] = jax.make_array_from_process_local_data(
-            rep, g_idx
+            NamedSharding(mesh, P()), g_idx
         )
     return out
 
@@ -210,6 +236,18 @@ def local_rows(batch: dict, mesh: Mesh, global_batch: int) -> dict:
         keep = np.logical_and(idx[0, :, 0] >= lo, idx[0, :, 0] < hi)
         kept = np.array(idx[:, keep], copy=True)
         kept[0] -= lo
+        # hosts sharing the same dp rows (the cp x tp host grid of one
+        # replica — stage-4's dp=1 shape spans EVERY host) partition the
+        # replica's tiles round-robin instead of each holding the full
+        # stack: the sharded global assembly (make_global_batch) only
+        # needs each tile held ONCE somewhere
+        ranges = _dp_rows_by_process(mesh, global_batch)
+        peers = sorted(p for p, r in ranges.items() if r == (lo, hi))
+        tiles = np.asarray(batch["images"])[keep]
+        if len(peers) > 1:
+            r = peers.index(jax.process_index())
+            kept = kept[:, r::len(peers)]
+            tiles = tiles[r::len(peers)]
         out["image_indices"] = kept
-        out["images"] = np.asarray(batch["images"])[keep]
+        out["images"] = tiles
     return out
