@@ -116,17 +116,19 @@ def report(name, compiled, n_chips=64, topology=None):
         if n:
             colls[op] = n
     print(f"  collectives: {colls}")
-    # largest all-gather (the cache-gather pathology detector)
-    biggest, big_line = 0, ""
+    # largest all-gathers (the cache/weight-gather pathology detector)
+    gathers = []
     for m in re.finditer(r"= \w+\[([0-9,]*)\][^\n]* all-gather[^\n]*", txt):
         dims = [int(x) for x in m.group(1).split(",") if x]
         numel = int(np.prod(dims)) if dims else 1
-        if numel > biggest:
-            biggest, big_line = numel, m.group(0)
+        meta = re.search(r'op_name="([^"]*)"', m.group(0))
+        gathers.append((numel, meta.group(1) if meta else m.group(0)[:160]))
+    gathers.sort(reverse=True)
+    biggest = gathers[0][0] if gathers else 0
     print(f"  largest all-gather result: {biggest:,} elements")
-    if biggest > 10_000_000:
-        meta = re.search(r'op_name="([^"]*)"', big_line)
-        print(f"    op: {meta.group(1) if meta else big_line[:200]}")
+    for numel, name in gathers[:5]:
+        if numel > 1_000_000:
+            print(f"    {numel:>13,}  {name[:120]}")
     import os
     if os.environ.get("AOT_DUMP_HLO"):
         with open(os.environ["AOT_DUMP_HLO"], "w") as f:

@@ -118,6 +118,95 @@ def cp_dryrun(args, cfg, params):
     }))
 
 
+def mm_composite(args):
+    """1M MULTIMODAL single-chip composite (VERDICT round-3 #8): the
+    text-only 1M row skips the north-star regime — 4K-frame video prefill
+    (BASELINE.md: 1M-token 4,096-frame multimodal). This drives the REAL
+    InferenceEngine end to end on one chip: encode --frames 448px frames
+    through the full InternViT (short kernel) + projector, scatter each
+    frame's 256 feature rows into the prompt, then chunked KV prefill to
+    --seq. Reports frames/s encoded, composite TTFT (encode + scatter +
+    prefill), and composite MFU (ViT fwd + LM prefill flops over the
+    whole wall)."""
+    from long_vita_tpu.config import LongVITAConfig, TextConfig, VisionConfig
+    from long_vita_tpu.inference.engine import InferenceEngine
+    from long_vita_tpu.models.long_vita import init_long_vita_params
+
+    tok_per_frame = 256
+    cfg = LongVITAConfig(
+        text=TextConfig(
+            vocab_size=152064, hidden_size=5120, intermediate_size=13824,
+            num_hidden_layers=args.layers, num_attention_heads=40,
+            num_key_value_heads=8, rope_theta=1e6,
+        ),
+        vision=VisionConfig(),  # full InternViT-300M geometry
+    )
+    assert args.frames * tok_per_frame <= args.seq
+    log(f"mm composite: {args.frames} frames x {tok_per_frame} tok | "
+        f"seq {args.seq} | {args.layers}-layer LM slice | full 24-layer ViT")
+    params = init_long_vita_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    engine = InferenceEngine(
+        params, cfg, None, max_seq_len=args.seq, chunk=args.chunk,
+        kv_quant=args.kv_quant, vision_chunk=32,
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.text.vocab_size, size=(args.seq,))
+    # frames back to back from position 0 (the reference's video layout:
+    # frame tokens lead, the question trails)
+    seq_idx = np.arange(args.frames * tok_per_frame).reshape(
+        args.frames, tok_per_frame
+    )
+    indices = np.stack([np.zeros_like(seq_idx), seq_idx])
+    frames = rng.standard_normal(
+        (args.frames, 448, 448, 3)
+    ).astype(np.float32)
+
+    def once():
+        t0 = time.time()
+        job = engine.start_prefill(ids, frames, indices)
+        _ = jax.block_until_ready(job.feats)
+        t_encode = time.time() - t0
+        while not job.done:
+            engine.prefill_step(job)
+        cache, last_hidden, _ = engine.finish_prefill(job)
+        _ = float(jnp.sum(last_hidden.astype(jnp.float32)))  # device sync
+        return time.time() - t0, t_encode, cache
+
+    t_cold, _, cache = once()
+    log(f"compile+first composite: {t_cold:.1f}s")
+    del cache
+    dt, t_encode, cache = once()
+
+    t, v = cfg.text, cfg.vision
+    per_tok = 2 * t.hidden_size * (
+        t.num_attention_heads * t.head_dim
+        + 2 * t.num_key_value_heads * t.head_dim
+    ) + 2 * t.num_attention_heads * t.head_dim * t.hidden_size \
+        + 6 * t.hidden_size * t.intermediate_size
+    attn = 4 * args.seq * args.seq * t.num_attention_heads * t.head_dim * 0.5
+    lm = args.layers * (per_tok * args.seq + attn)
+    v_mm = 8 * v.hidden_size**2 + 4 * v.hidden_size * v.intermediate_size
+    v_attn = 4 * v.seq_len * v.seq_len * v.hidden_size
+    vit = v.num_hidden_layers * (v_mm * v.seq_len + v_attn) * args.frames
+    proj = 2 * args.frames * tok_per_frame * (
+        v.hidden_size * 4 * t.hidden_size + t.hidden_size * t.hidden_size
+    )
+    tflops = (lm + vit + proj) / dt / 1e12
+    mfu = tflops / 197.0
+    fps = args.frames / t_encode
+    full_ttft = dt + (48 - args.layers) / args.layers * (dt - t_encode)
+    log(f"encode: {t_encode:.2f}s ({fps:.1f} frames/s) | composite "
+        f"TTFT {dt:.2f}s slice | {tflops:.1f} TFLOP/s | MFU {mfu:.3f} | "
+        f"extrapolated 48-layer composite TTFT {full_ttft:.1f}s/chip")
+    print(json.dumps({
+        "mode": "mm_composite", "frames": args.frames, "seq": args.seq,
+        "layers": args.layers, "encode_s": round(t_encode, 2),
+        "frames_per_s": round(fps, 1), "ttft_s_slice": round(dt, 2),
+        "tflops": round(tflops, 1), "mfu": round(mfu, 4),
+        "ttft_48layer_s": round(full_ttft, 1),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--seq", type=int, default=131072)
@@ -125,6 +214,10 @@ def main():
     parser.add_argument("--chunk", type=int, default=8192)
     parser.add_argument("--decode-steps", type=int, default=16)
     parser.add_argument("--kv-quant", action="store_true")
+    parser.add_argument("--frames", type=int, default=0,
+                        help="multimodal composite: encode N video frames "
+                             "+ scatter + chunked prefill via the real "
+                             "InferenceEngine (single chip)")
     parser.add_argument("--from-ids", action="store_true",
                         help="embed per chunk inside the scan (1M-scale: "
                              "the full [1,S,H] embeds never materialize)")
@@ -153,6 +246,10 @@ def main():
     )
     log(f"{args.layers}-layer 14B slice | seq {args.seq} | chunk {args.chunk}"
         f" | device {jax.devices()[0].device_kind}")
+
+    if args.frames:
+        mm_composite(args)
+        return
 
     params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if args.cp:

@@ -19,6 +19,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -107,7 +108,10 @@ def main():
                   "projector": params.pop("projector")}
 
     if trainable_vit:
-        @jax.jit
+        # donate the params buffer: the old copy aliases into the update,
+        # freeing ~2 bytes/param of HBM — the 8-layer depth-sweep point
+        # OOMs one v5e without it
+        @partial(jax.jit, donate_argnums=(0,))
         def step(params, images):
             loss, grads = jax.value_and_grad(loss_fn)(params, images)
             params = jax.tree.map(
@@ -128,7 +132,7 @@ def main():
             s, c = cross_entropy(logits, labels)
             return s / jnp.maximum(c, 1.0)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def step(params, frozen, images):
             loss, grads = jax.value_and_grad(loss_frozen)(
                 params, frozen, images
