@@ -45,6 +45,13 @@ def main():
     # is budget-masked (2048 rows) so its flops share is negligible either
     # way and is not counted in the MFU model.
     parser.add_argument("--vocab", type=int, default=152064)
+    parser.add_argument("--vit-remat", action="store_true",
+                        help="chunk-level vision-tower remat (remat='vit'):"
+                             " per-ViT-layer residuals drop to one chunk's"
+                             " pixels; backward replays the tower once "
+                             "(ViT flops x5 instead of x4). Required for "
+                             "stage-2 slices deeper than 4 layers on one "
+                             "v5e.")
     args = parser.parse_args()
 
     from long_vita_tpu.utils.compile_cache import enable
@@ -97,7 +104,8 @@ def main():
             logits, _ = long_vita_forward(
                 params, tokens, positions, cfg, images=images,
                 image_indices=image_indices, logit_positions=lp,
-                vision_chunk=16, remat=True,
+                vision_chunk=16,
+                remat="vit" if args.vit_remat else True,
             )
             s, c = cross_entropy(logits, labels)
             return s / jnp.maximum(c, 1.0)
@@ -173,7 +181,9 @@ def main():
     proj_fwd = 2 * n_tiles * tok_per_tile * (
         proj_in * t.hidden_size + t.hidden_size * t.hidden_size
     )
-    vit_mult = 4 if trainable_vit else 1  # fwd+2bwd+remat vs frozen fwd
+    # fwd+2bwd+remat vs frozen fwd; chunk-level tower remat replays the
+    # tower forward once more in backward
+    vit_mult = (5 if args.vit_remat else 4) if trainable_vit else 1
     flops = lm_flops + vit_mult * (vit_fwd + proj_fwd)
 
     tflops = flops / dt / 1e12

@@ -90,10 +90,21 @@ def encode_images(
         return feats[:, 1:, :]
 
     def _encode_chunked(vision_p, projector_p, tiles):
+        fn = lambda vp, pp, t: project_features(
+            pp, _tower(vp, t, freeze_tower), cfg
+        )
+        if remat == "vit" and not freeze_tower:
+            # chunk-level tower remat (the reference's --recompute-* family
+            # extended to the vision tower): save only each chunk's tile
+            # pixels and replay tower+projector once in backward. Without
+            # it, a trainable tower saves one [tiles, 1025, vit_h] residual
+            # per ViT layer REGARDLESS of chunking (3.0 GB at 60 tiles —
+            # the stage-2 depth-sweep OOM) plus the projector's f32
+            # layer-norm saves; chunk remat trades those for ~1 extra
+            # tower forward.
+            fn = jax.checkpoint(fn)
         return _chunked(
-            lambda t: project_features(
-                projector_p, _tower(vision_p, t, freeze_tower), cfg
-            ),
+            lambda t: fn(vision_p, projector_p, t),
             tiles, tiles.shape[0],
         )
 

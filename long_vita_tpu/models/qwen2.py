@@ -774,7 +774,11 @@ def _remat_policy(remat):
     shorter-context stages); "flash" = save ONLY the flash kernel's
     (o, lse) so the backward skips the attention-forward recompute —
     O(S*H*D) memory per layer for ~20% less attention compute, the
-    flash-attn-2 backward contract the reference's full recompute loses."""
+    flash-attn-2 backward contract the reference's full recompute loses;
+    "vit" = full, PLUS chunk-level vision-tower remat in encode_images
+    (per-ViT-layer activation saves drop to one tile chunk's pixels —
+    the trainable-tower stage-2 regime at depth, and 4k-frame trainable
+    towers, exceed one chip's HBM without it)."""
     if remat == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if remat == "flash":
