@@ -137,7 +137,7 @@ def report(name, compiled, n_chips=64, topology=None):
     return args_plus_temp
 
 
-def train_case(frames: int, remat="full"):
+def train_case(frames: int, remat="full", trainable_vit=False):
     from long_vita_tpu.config import long_vita_14b
     from long_vita_tpu.models.long_vita import init_long_vita_params
     from long_vita_tpu.parallel.sharding import long_vita_param_specs
@@ -158,7 +158,8 @@ def train_case(frames: int, remat="full"):
     tx = make_optimizer(
         params_struct,
         OptimizerConfig(
-            lr=5e-6, warmup_steps=10, total_steps=500, freeze_vision=True
+            lr=5e-6, warmup_steps=10, total_steps=500,
+            freeze_vision=not trainable_vit,
         ),
         num_vit_layers=cfg.vision.num_hidden_layers,
     )
@@ -192,14 +193,22 @@ def train_case(frames: int, remat="full"):
         batch["image_indices"] = jax.ShapeDtypeStruct(
             (2, frames, t), jnp.int32, sharding=rep
         )
+    # stage-4 trains with the tower frozen; --case train-mm-trainable
+    # flips it on (the regime PERF.md row "ViT TRAINABLE at 256 frames"
+    # measured RED at 4096 frames pre-round-4: the per-ViT-layer residual
+    # [4096, 1025, 1024] alone exceeds int32 words. remat="vit" removes
+    # those saves; the smaller vision_chunk bounds the backward replay
+    # transient to 24 x [64, 1025, 1024].)
     step = make_train_step(
         cfg, tx, mesh, use_ring=True,
-        remat=(True if remat == "full" else remat), vision_chunk=256,
-        freeze_vision=True,  # stage-4 trains with the tower frozen
+        remat=(True if remat == "full" else remat),
+        vision_chunk=64 if trainable_vit else 256,
+        freeze_vision=not trainable_vit,
     )
     name = (
         f"stage4 train step seq=1M mbs=1 cp8xtp8 remat={remat} "
         f"frames={frames}"
+        + (" TRAINABLE ViT" if trainable_vit else "")
     )
     print(f"lowering {name} ...", flush=True)
     lowered = step.lower(state, batch)
@@ -368,11 +377,13 @@ if __name__ == "__main__":
     _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", required=True,
-                    choices=["train-text", "train-mm", "serve-1m",
+                    choices=["train-text", "train-mm",
+                             "train-mm-trainable", "serve-1m",
                              "serve-1m-bf16", "train-72b",
                              "train-72b-stage2", "train-72b-pp"])
     ap.add_argument("--frames", type=int, default=256)
-    ap.add_argument("--remat", default="full", choices=["full", "flash"])
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "flash", "vit"])
     ap.add_argument("--virtual", type=int, default=1,
                     help="interleaved pipeline chunks per stage (pp case)")
     ap.add_argument("--chunk", type=int, default=16384)
@@ -391,6 +402,8 @@ if __name__ == "__main__":
         train_case(0, remat=a.remat)
     elif a.case == "train-mm":
         train_case(a.frames, remat=a.remat)
+    elif a.case == "train-mm-trainable":
+        train_case(a.frames, remat=a.remat, trainable_vit=True)
     elif a.case == "serve-1m":
         serve_case(True, a.chunk)
     else:

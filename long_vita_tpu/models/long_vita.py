@@ -276,12 +276,17 @@ def long_vita_forward(
     if parallel is not None and kv_cache is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        shape = parallel.mesh.shape
+        # 2-D TP (tq > 1): the SP layout additionally shards hidden over
+        # tq — halved activation residency and two-stage (SUMMA-style)
+        # GEMM collectives, the reference's vestigial tp_x/tp_y design
+        # (parallel_state.py:1010-1060) realized through GSPMD.
+        _hdim = "tq" if shape.get("tq", 1) > 1 else None
         _sp = NamedSharding(
             parallel.mesh,
-            P(parallel.axis_dp, (parallel.axis_cp, parallel.axis_tp), None),
+            P(parallel.axis_dp, (parallel.axis_cp, parallel.axis_tp), _hdim),
         )
         constrain = lambda x: jax.lax.with_sharding_constraint(x, _sp)
-        shape = parallel.mesh.shape
         cptp = (
             shape.get(parallel.axis_cp, 1) * shape.get(parallel.axis_tp, 1)
         )
@@ -290,6 +295,8 @@ def long_vita_forward(
         vp_embed = (
             shape.get(parallel.axis_tp, 1) > 1
             and shape.get("pp", 1) == 1
+            and shape.get("tq", 1) == 1  # 2-D TP: plain lookup (the
+            # psum_scatter shard_map doesn't mention tq; GSPMD reshards)
             and input_ids.shape[1] % cptp == 0
             and input_ids.shape[0] % shape.get(parallel.axis_dp, 1) == 0
         )

@@ -33,7 +33,8 @@ AXIS_DP = "dp"
 AXIS_PP = "pp"
 AXIS_CP = "cp"
 AXIS_TP = "tp"
-AXES = (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP)
+AXIS_TQ = "tq"  # second tensor-parallel factor (2-D TP; size 1 = off)
+AXES = (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP, AXIS_TQ)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,10 +43,18 @@ class MeshConfig:
     pp: int = 1
     cp: int = 1
     tp: int = 1
+    # 2-D tensor parallelism: the reference reserves a tp_x x tp_y
+    # factorization (parallel_state.py:1010-1060, init commented out —
+    # vestigial there). Here tq is the second factor: weights shard over
+    # BOTH matrix dims (col kernels [L, in@tq, out@tp], row kernels
+    # [L, in@tp, out@tq]) and the SP activation layout adds hidden@tq, so
+    # GSPMD derives the SUMMA-style two-stage collectives the reference
+    # would have hand-coded. tq=1 leaves every 1-D geometry untouched.
+    tq: int = 1
 
     @property
     def size(self) -> int:
-        return self.dp * self.pp * self.cp * self.tp
+        return self.dp * self.pp * self.cp * self.tp * self.tq
 
 
 def make_mesh(
@@ -66,7 +75,9 @@ def make_mesh(
         raise ValueError(
             f"mesh {cfg} needs {cfg.size} devices, have {len(devices)}"
         )
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.pp, cfg.cp, cfg.tp)
+    arr = np.asarray(devices).reshape(
+        cfg.dp, cfg.pp, cfg.cp, cfg.tp, cfg.tq
+    )
     return Mesh(arr, AXES)
 
 
@@ -108,6 +119,15 @@ def validate_geometry(
             f"seq_len {seq_len} % 2*cp {2 * cp} != 0 (zigzag needs 2cp "
             "equal chunks)"
         )
+    if mesh_cfg.tq > 1:
+        if text_cfg.hidden_size % mesh_cfg.tq:
+            errs.append(
+                f"hidden {text_cfg.hidden_size} % tq {mesh_cfg.tq} != 0"
+            )
+        if pp > 1:
+            errs.append("2-D TP (tq > 1) does not compose with pp")
+        if getattr(text_cfg, "num_experts", 0) > 0:
+            errs.append("2-D TP (tq > 1) does not compose with MoE/EP")
     if errs:
         raise ValueError(
             "model geometry cannot shard over mesh "

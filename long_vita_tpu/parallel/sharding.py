@@ -32,7 +32,7 @@ Params = dict[str, Any]
 
 def text_param_specs(
     fsdp: bool = False, pp: bool = False, moe: bool = False,
-    lora_targets: tuple = (),
+    lora_targets: tuple = (), tp2d: bool = False,
 ) -> Params:
     """PartitionSpecs matching the pytree of models/qwen2.py params.
 
@@ -50,15 +50,33 @@ def text_param_specs(
     pp=True shards the layer dim over the pipeline axis (each stage holds
     its layers); combine with fsdp to shard each stage's slice over dp too.
     """
-    from long_vita_tpu.parallel.mesh import AXIS_PP
+    from long_vita_tpu.parallel.mesh import AXIS_PP, AXIS_TQ
 
     ldim = AXIS_PP if pp else None
     fs = AXIS_DP if fsdp else None
-    col = P(ldim, fs, AXIS_TP)  # [L@pp?, in@dp?, out@tp]
-    row = P(ldim, AXIS_TP, fs)  # [L@pp?, in@tp, out@dp?]
+    if tp2d:
+        # 2-D TP (reference tp_x/tp_y, parallel_state.py:1010-1060):
+        # both matrix dims shard; GSPMD emits the SUMMA-style partial
+        # GEMMs + reduce-scatters. The interior fsdp dim is already
+        # claimed by tq, so the combination is rejected.
+        if fsdp or moe:
+            raise ValueError("tp2d composes with neither fsdp nor MoE")
+        col = P(ldim, AXIS_TQ, AXIS_TP)  # [L, in@tq, out@tp]
+        row = P(ldim, AXIS_TP, AXIS_TQ)  # [L, in@tp, out@tq]
+    else:
+        col = P(ldim, fs, AXIS_TP)  # [L@pp?, in@dp?, out@tp]
+        row = P(ldim, AXIS_TP, fs)  # [L@pp?, in@tp, out@dp?]
+    # 2-D embed/head: hidden@tq so the token gather LANDS in the hidden-
+    # sharded SP layout. Do NOT keep the table 1-D under tp2d — a gather
+    # from a [V@tp, H] table immediately resharded to hidden@tq
+    # mispartitions in XLA's SPMD gather path (measured 0.078 max-abs
+    # embedding corruption on an 8-way CPU mesh; the 2-D table is exact
+    # AND the better layout).
+    head_in = AXIS_TQ if tp2d else None
+    embed_h = AXIS_TQ if tp2d else None
     bias_col = P(ldim, AXIS_TP)
     norm = P(ldim, fs)
-    vocab = P((AXIS_TP, AXIS_DP) if fsdp else AXIS_TP, None)
+    vocab = P((AXIS_TP, AXIS_DP) if fsdp else AXIS_TP, embed_h)
     layers = {
         "input_norm": norm,
         "post_attn_norm": norm,
@@ -93,7 +111,9 @@ def text_param_specs(
         "layers": layers,
         "final_norm": P(None),
         "lm_head": {
-            "kernel": P(None, (AXIS_TP, AXIS_DP) if fsdp else AXIS_TP)
+            "kernel": P(
+                head_in, (AXIS_TP, AXIS_DP) if fsdp else AXIS_TP
+            )
         },
     }
 
@@ -103,7 +123,8 @@ def _replicate_like(tree: Params) -> Params:
 
 
 def long_vita_param_specs(
-    params: Params, fsdp: bool = False, pp: bool = False
+    params: Params, fsdp: bool = False, pp: bool = False,
+    tp2d: bool = False,
 ) -> Params:
     """Specs for the full VLM param pytree (vision/projector replicated —
     the 300M tower is cheaper gathered than streamed)."""
@@ -114,7 +135,7 @@ def long_vita_param_specs(
         if isinstance(e, dict) and "lora" in e
     )
     specs: Params = {
-        "text": text_param_specs(fsdp, pp, moe, lora_targets)
+        "text": text_param_specs(fsdp, pp, moe, lora_targets, tp2d)
     }
     if "vision" in params:
         specs["vision"] = _replicate_like(params["vision"])
@@ -126,7 +147,9 @@ def shard_params(
     params: Params, mesh: Mesh, fsdp: bool = False, pp: bool = False
 ) -> Params:
     """Place a param pytree onto the mesh according to the rules above."""
-    specs = long_vita_param_specs(params, fsdp, pp)
+    specs = long_vita_param_specs(
+        params, fsdp, pp, tp2d=mesh.shape.get("tq", 1) > 1
+    )
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -76,6 +76,9 @@ def loss_fn(
         vocab_parallel = (
             parallel is not None
             and parallel.mesh.shape.get("pp", 1) == 1
+            and parallel.mesh.shape.get("tq", 1) == 1  # 2-D TP keeps the
+            # plain head: its lm_head is [H@tq, V@tp] (hidden-contraction
+            # psums over tq) — the 1-D vp CE shard_map doesn't model tq
             and parallel.mesh.shape.get(parallel.axis_tp, 1) > 1
             and batch["logit_positions"].shape[1]
             % parallel.mesh.shape.get(parallel.axis_cp, 1) == 0
@@ -289,7 +292,10 @@ def init_train_state(
                     ),
                 },
             }
-        specs = long_vita_param_specs(params, fsdp, pp_size > 1)
+        specs = long_vita_param_specs(
+            params, fsdp, pp_size > 1,
+            tp2d=mesh.shape.get("tq", 1) > 1,
+        )
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
         )

@@ -615,6 +615,60 @@ def test_cp_sharded_grads_match_unsharded():
         )
 
 
+def test_tp2d_grads_match_unsharded():
+    """2-D TP (tq axis: weights sharded over BOTH matrix dims, hidden@tq
+    activations — the reference's vestigial tp_x/tp_y,
+    parallel_state.py:1010-1060) is a pure layout: loss and grads on a
+    dp2 x tp2 x tq2 mesh must match the unsharded single-config run."""
+    from long_vita_tpu.models.qwen2 import ParallelConfig
+    from long_vita_tpu.parallel.mesh import make_mesh, validate_geometry
+    from long_vita_tpu.parallel.sharding import shard_params
+    from long_vita_tpu.training.train_step import loss_fn
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    rng = np.random.default_rng(3)
+    seq, budget = 128, 32
+    tokens = rng.integers(0, cfg.text.vocab_size, size=(2, seq))
+    pos = np.broadcast_to(np.arange(seq), (2, seq)).copy()
+    logit_positions = np.broadcast_to(
+        np.linspace(4, seq - 2, budget).astype(np.int32), (2, budget)
+    ).copy()
+    labels = np.take_along_axis(
+        tokens, logit_positions + 1, axis=1
+    ).astype(np.int32)
+    base = {
+        "tokens": jnp.asarray(tokens), "positions": jnp.asarray(pos),
+        "segment_ids": jnp.zeros((2, seq), jnp.int32),
+        "logit_positions": jnp.asarray(logit_positions),
+        "labels": jnp.asarray(labels),
+        "images": None, "image_indices": None,
+    }
+
+    def run(par, p):
+        return jax.jit(jax.value_and_grad(
+            lambda p_, b: loss_fn(p_, b, cfg, par, True)[0]
+        ))(p, base)
+
+    loss_ref, g_ref = run(None, params)
+
+    mc = MeshConfig(dp=2, tp=2, tq=2)
+    validate_geometry(cfg.text, mc, seq_len=seq)
+    mesh = make_mesh(mc)
+    sharded = shard_params(params, mesh)
+    # both matrix dims really shard
+    qk = sharded["text"]["layers"]["q_proj"]["kernel"].sharding.spec
+    assert tuple(qk) == (None, "tq", "tp"), qk
+    loss_2d, g_2d = run(ParallelConfig(mesh), sharded)
+    np.testing.assert_allclose(
+        np.asarray(loss_2d), np.asarray(loss_ref), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_2d)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2e-4
+        )
+
+
 def test_vit_chunk_remat_grads_match():
     """remat='vit' (chunk-level vision-tower remat: save only each tile
     chunk's pixels, replay tower+projector in backward) is a pure memory
