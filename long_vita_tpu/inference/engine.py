@@ -70,6 +70,24 @@ class PrefillJob:
         return self.start >= self.padded
 
 
+
+def _host_cast_pixels(images, dtype) -> "jnp.ndarray":
+    """Cast pixel arrays to the cache dtype ON HOST before device_put.
+
+    jnp.asarray(f32_host_array, bf16) ships the full f32 bytes (measured
+    16.2 s for a 616 MB frame stack through the axon relay vs 7.5 s for a
+    host-side ml_dtypes cast + put — and PCIe on a real host scales the
+    same way). At 1M-multimodal scale the prompt's frame stack is the
+    single largest host->device transfer (2.3 GB f32 at 1536 frames), so
+    halving its wire size directly cuts TTFT."""
+    import ml_dtypes
+
+    arr = np.asarray(images)
+    if dtype == jnp.bfloat16 and arr.dtype == np.float32:
+        arr = arr.astype(ml_dtypes.bfloat16)
+    return jnp.asarray(arr, dtype)
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -403,7 +421,7 @@ class InferenceEngine:
         feats = indices = None
         if images is not None and images.shape[0] > 0:
             feats = self._encode_images(
-                self.params, jnp.asarray(images, self.cache_dtype)
+                self.params, _host_cast_pixels(images, self.cache_dtype)
             )
             indices = jnp.asarray(image_indices)
         media_key, cache, start = "", None, 0
@@ -522,7 +540,9 @@ class InferenceEngine:
         if stacks:
             feats = self._encode_images(
                 self.params,
-                jnp.asarray(np.concatenate(stacks, 0), self.cache_dtype),
+                _host_cast_pixels(
+                    np.concatenate(stacks, 0), self.cache_dtype
+                ),
             )
             indices = jnp.asarray(np.concatenate(idx_parts, 1))
 
