@@ -88,6 +88,32 @@ def _host_cast_pixels(images, dtype) -> "jnp.ndarray":
     return jnp.asarray(arr, dtype)
 
 
+def _pad_tiles(arr: np.ndarray, n: int) -> np.ndarray:
+    if arr.shape[0] == n:
+        return arr
+    pad = np.zeros((n - arr.shape[0], *arr.shape[1:]), arr.dtype)
+    return np.concatenate([arr, pad], 0)
+
+
+_OOB_SEQ = np.int32(2**30)  # survives any `- chunk_start` shift as OOB
+
+
+def _pad_scatter_indices(indices, n_feat_rows: int) -> np.ndarray:
+    """Match the scatter index list to a padded feature stack.
+
+    indices is [2, N_tiles, image_token_length]; when the pipelined
+    encode pads the tile dim, append sentinel (batch 0, seq 2**30)
+    entries — the embed scatter's mode="drop" discards out-of-range
+    rows, so padded encodings never land in the prompt."""
+    idx = np.asarray(indices)
+    short = n_feat_rows - idx.shape[1]
+    if short <= 0:
+        return idx
+    pad = np.zeros((2, short, idx.shape[2]), idx.dtype)
+    pad[1] = _OOB_SEQ
+    return np.concatenate([idx, pad], 1)
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -104,6 +130,7 @@ class InferenceEngine:
         decode_segment: int = 64,
         prefix_cache_entries: int = 0,
         speculative_k: int = 0,
+        transfer_chunk: int = 256,
     ):
         """mesh: optional jax Mesh for multi-chip serving — params shard by
         the training rules (TP on heads/MLP/vocab), the KV cache shards its
@@ -117,6 +144,7 @@ class InferenceEngine:
         self.cache_dtype = cache_dtype
         self.kv_quant = kv_quant
         self.decode_segment = decode_segment
+        self.transfer_chunk = transfer_chunk
         self.eos_id = cfg.text.eos_token_id
         # cross-request prefix KV reuse (inference/prefix_cache.py): skips
         # re-prefilling a shared prompt prefix — multi-turn chat over one
@@ -174,6 +202,15 @@ class InferenceEngine:
             donate_argnums=(3,),
         )
         self._encode_images = jax.jit(self._encode_images_impl)
+        # donated dynamic_update_slice: pipelined encode writes each
+        # transfer-chunk's features into ONE buffer (never two copies of
+        # the 4.0 GB feature stack at 1536 frames)
+        self._feat_update = jax.jit(
+            lambda buf, part, start: jax.lax.dynamic_update_slice(
+                buf, part, (start, 0, 0)
+            ),
+            donate_argnums=(0,),
+        )
         self._last_row = jax.jit(self._last_row_impl, donate_argnums=(3,))
         self._head_sample = jax.jit(
             self._head_sample_impl, static_argnames=("sp",)
@@ -218,6 +255,48 @@ class InferenceEngine:
         )
 
     # ---- jitted pieces --------------------------------------------------
+
+    def _encode_images_host(self, images) -> jnp.ndarray:
+        """Encode a HOST tile stack, overlapping pixel transfer with
+        tower compute.
+
+        A one-shot encode serializes the FULL pixel transfer (1.15 GB
+        bf16 at 1536 frames) before the first ViT flop. Splitting the
+        stack into `transfer_chunk`-tile pieces and dispatching encode
+        per piece lets JAX's async dispatch run chunk i's tower while
+        chunk i+1's pixels are still in flight (H2D DMA and the MXU are
+        independent engines). Each piece's features land in ONE donated
+        buffer, so the feature stack (4.0 GB bf16 at 1536 frames) is
+        never held twice.
+
+        Returns a buffer padded to a transfer_chunk multiple; rows past
+        the real tile count hold zero-tile encodings. Consumers feed
+        feature rows through the `image_indices` scatter, whose index
+        list is padded with out-of-range sentinels for those rows
+        (`_pad_scatter_indices`) so `mode="drop"` discards them. Off on
+        meshes (sharded-layout policy stays with the one-shot jit) and
+        for stacks within one chunk.
+        """
+        arr = np.asarray(images)
+        n, tc = arr.shape[0], self.transfer_chunk
+        if self.mesh is not None or not tc or n <= tc:
+            return self._encode_images(
+                self.params, _host_cast_pixels(arr, self.cache_dtype)
+            )
+        buf = None
+        for i in range(0, n, tc):
+            part = self._encode_images(
+                self.params,
+                _host_cast_pixels(
+                    _pad_tiles(arr[i : i + tc], tc), self.cache_dtype
+                ),
+            )
+            if buf is None:
+                buf = jnp.zeros(
+                    (-(-n // tc) * tc, *part.shape[1:]), part.dtype
+                )
+            buf = self._feat_update(buf, part, i)
+        return buf
 
     def _encode_images_impl(self, params, images):
         # "short": the single-pass ViT attention kernel (forward-only);
@@ -420,10 +499,10 @@ class InferenceEngine:
         ids[0, :true_len] = input_ids
         feats = indices = None
         if images is not None and images.shape[0] > 0:
-            feats = self._encode_images(
-                self.params, _host_cast_pixels(images, self.cache_dtype)
+            feats = self._encode_images_host(images)
+            indices = jnp.asarray(
+                _pad_scatter_indices(image_indices, feats.shape[0])
             )
-            indices = jnp.asarray(image_indices)
         media_key, cache, start = "", None, 0
         if self.prefix_cache is not None:
             from long_vita_tpu.inference.prefix_cache import media_fingerprint
@@ -538,13 +617,12 @@ class InferenceEngine:
             idx[0] = row
             idx_parts.append(idx)
         if stacks:
-            feats = self._encode_images(
-                self.params,
-                _host_cast_pixels(
-                    np.concatenate(stacks, 0), self.cache_dtype
-                ),
+            feats = self._encode_images_host(np.concatenate(stacks, 0))
+            indices = jnp.asarray(
+                _pad_scatter_indices(
+                    np.concatenate(idx_parts, 1), feats.shape[0]
+                )
             )
-            indices = jnp.asarray(np.concatenate(idx_parts, 1))
 
         cache = self._make_cache(
             batch=bsz, max_len=_round_up(self.max_seq_len, self.chunk)

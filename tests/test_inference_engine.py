@@ -489,3 +489,38 @@ def test_segmented_decode_early_stops(engine):
     # ...while the short row matches its solo run exactly
     single = engine.generate(input_ids=short_ids, sampling=sp)
     assert short.token_ids == single.token_ids
+
+
+def test_pipelined_encode_matches_oneshot():
+    """transfer_chunk pipelining (chunked device_put + donated feature
+    buffer + OOB-sentinel index padding) must be invisible: prefill over
+    a tile count that is NOT a transfer_chunk multiple reproduces the
+    one-shot encode (f32; tolerance covers batch-shape-dependent GEMM
+    accumulation order only)."""
+    from long_vita_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    tiles = rng.standard_normal((5, 56, 56, 3)).astype(np.float32)
+    tok = cfg.image_token_length
+    ids = rng.integers(0, 500, size=40).tolist()
+    seq_idx = np.arange(5 * tok, dtype=np.int32).reshape(5, tok)
+    indices = np.stack([np.zeros_like(seq_idx), seq_idx])
+
+    def run(tc):
+        eng = InferenceEngine(
+            params, cfg, None, max_seq_len=64, chunk=32,
+            cache_dtype=jnp.float32, transfer_chunk=tc,
+        )
+        return eng.prefill(ids, tiles, indices)
+
+    cache_one, hid_one, n_one = run(0)      # one-shot
+    cache_pipe, hid_pipe, n_pipe = run(2)   # 5 tiles -> 3 padded chunks
+    assert n_one == n_pipe == 40
+    np.testing.assert_allclose(
+        np.asarray(hid_pipe), np.asarray(hid_one), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_pipe.k), np.asarray(cache_one.k), rtol=2e-5, atol=2e-5
+    )
