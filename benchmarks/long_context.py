@@ -214,6 +214,10 @@ def main():
     parser.add_argument("--chunk", type=int, default=8192)
     parser.add_argument("--decode-steps", type=int, default=16)
     parser.add_argument("--kv-quant", action="store_true")
+    parser.add_argument("--weight-quant", action="store_true",
+                        help="weight-only int8 (w8a16, models/quantize.py):"
+                             " halves the per-token weight read that floors"
+                             " decode tok/s")
     parser.add_argument("--frames", type=int, default=0,
                         help="multimodal composite: encode N video frames "
                              "+ scatter + chunked prefill via the real "
@@ -252,6 +256,10 @@ def main():
         return
 
     params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if args.weight_quant:
+        from long_vita_tpu.models.quantize import quantize_weights_int8
+
+        params = jax.jit(quantize_weights_int8)(params)
     if args.cp:
         cp_dryrun(args, cfg, params)
         return

@@ -26,6 +26,7 @@ def build_engine(
     kv_quant: bool = False,
     prefix_cache: int = 0,
     speculative: int = 0,
+    weight_quant=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -50,6 +51,7 @@ def build_engine(
         params, cfg, mm, max_seq_len=max_seq_len, chunk=chunk,
         cache_dtype=dtype, mesh=mesh, kv_quant=kv_quant,
         prefix_cache_entries=prefix_cache, speculative_k=speculative,
+        weight_quant=weight_quant,
     )
 
 
@@ -78,6 +80,11 @@ def main(argv=None):
     parser.add_argument("--cp", type=int, default=1,
                         help="context-parallel ways (KV cache sharded by "
                              "sequence; 1M-token serving)")
+    parser.add_argument("--weight-quant", default=None,
+                        choices=["int8"],
+                        help="weight-only int8 serving (w8a16): halves "
+                        "the per-token HBM weight read that floors "
+                        "decode tok/s (models/quantize.py)")
     parser.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache (half the memory/bandwidth)")
     parser.add_argument("--speculative", type=int, default=0,
@@ -103,7 +110,7 @@ def main(argv=None):
         args.model_path, max_seq_len=args.max_seq_len, chunk=args.chunk,
         max_num_frame=args.max_num_frame, dtype_name=args.dtype, tp=args.tp,
         cp=args.cp, kv_quant=args.kv_quant, prefix_cache=args.prefix_cache,
-        speculative=args.speculative,
+        speculative=args.speculative, weight_quant=args.weight_quant,
     )
 
     if args.serve:

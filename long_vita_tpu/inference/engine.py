@@ -131,6 +131,7 @@ class InferenceEngine:
         prefix_cache_entries: int = 0,
         speculative_k: int = 0,
         transfer_chunk: int = 256,
+        weight_quant: Optional[str] = None,
     ):
         """mesh: optional jax Mesh for multi-chip serving — params shard by
         the training rules (TP on heads/MLP/vocab), the KV cache shards its
@@ -163,6 +164,22 @@ class InferenceEngine:
         if speculative_k < 0 or speculative_k == 1:
             raise ValueError("speculative_k must be 0 (off) or >= 2")
         self._spec_steps = 0  # verify-step counter (acceptance telemetry)
+        # weight-only int8 (w8a16, models/quantize.py): decode is HBM-
+        # bound on the per-token weight read — halving weight bytes
+        # halves the tok/s floor itself. Opt-in; the reference serves
+        # strictly bf16 (text_generation_server.py).
+        self.weight_quant = weight_quant
+        if weight_quant is not None:
+            if weight_quant != "int8":
+                raise ValueError(f"unknown weight_quant {weight_quant!r}")
+            from long_vita_tpu.models.quantize import (
+                quantize_weights_int8_host,
+            )
+
+            # on the HOST: the device path would hold fp + int8 trees
+            # together — more HBM than the chip the int8 model is meant
+            # to fit on (quantize._quant_entry_host)
+            params = quantize_weights_int8_host(params)
         self.mesh = mesh
         self.parallel = None
         if mesh is not None:

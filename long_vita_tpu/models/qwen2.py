@@ -157,6 +157,29 @@ def _with_lora(entry: Params, x: jnp.ndarray, out: jnp.ndarray,
     return out + ((x @ entry["lora"]["a"]) @ entry["lora"]["b"]) * scale
 
 
+def _proj(
+    entry: Params,
+    x: jnp.ndarray,
+    cfg: Optional[TextConfig],
+    parallel: Optional["ParallelConfig"],
+) -> jnp.ndarray:
+    """Apply one dense projection entry (plus its LoRA adapter if any).
+
+    Dispatches on the entry's layout: a serving tree quantized by
+    models/quantize.py carries {kernel_q: int8, scale: f32[out]} — the
+    convert int8->bf16 fuses into the dot's operand read on TPU, so the
+    GEMM moves half the HBM bytes and the per-out-channel scale applies
+    after as a vector multiply. Training trees carry {kernel} and route
+    through _cp_dense for the cp-local weight-grad schedule."""
+    if "kernel_q" in entry:
+        out = (x @ entry["kernel_q"].astype(x.dtype)) * entry[
+            "scale"
+        ].astype(x.dtype)
+    else:
+        out = _cp_dense(x, entry["kernel"], parallel)
+    return _with_lora(entry, x, out, cfg)
+
+
 def _manual_axes_kw(parallel: "ParallelConfig") -> dict:
     """axis_names kwarg for the nested compute shard_maps (see
     ParallelConfig.manual_axes): full-manual outside the pipeline,
@@ -415,18 +438,9 @@ def _attention_block(
     b, s, h = x.shape
     hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = _with_lora(
-        layer["q_proj"], x, _cp_dense(x, layer["q_proj"]["kernel"], parallel),
-        cfg,
-    ) + layer["q_proj"]["bias"]
-    k = _with_lora(
-        layer["k_proj"], x, _cp_dense(x, layer["k_proj"]["kernel"], parallel),
-        cfg,
-    ) + layer["k_proj"]["bias"]
-    v = _with_lora(
-        layer["v_proj"], x, _cp_dense(x, layer["v_proj"]["kernel"], parallel),
-        cfg,
-    ) + layer["v_proj"]["bias"]
+    q = _proj(layer["q_proj"], x, cfg, parallel) + layer["q_proj"]["bias"]
+    k = _proj(layer["k_proj"], x, cfg, parallel) + layer["k_proj"]["bias"]
+    v = _proj(layer["v_proj"], x, cfg, parallel) + layer["v_proj"]["bias"]
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
     v = v.reshape(b, s, hkv, d)
@@ -577,10 +591,7 @@ def _attention_block(
         )
 
     flat = out.reshape(b, s, hq * d)
-    out = _with_lora(
-        layer["o_proj"], flat,
-        _cp_dense(flat, layer["o_proj"]["kernel"], parallel), cfg,
-    )
+    out = _proj(layer["o_proj"], flat, cfg, parallel)
     return out, new_cache_kv
 
 
@@ -598,19 +609,10 @@ def _mlp_block(
     partial-manual shard_map)."""
     if "router" in layer:
         return _moe_mlp_block(layer, x, cfg, parallel)
-    gate = _with_lora(
-        layer["gate_proj"], x,
-        _cp_dense(x, layer["gate_proj"]["kernel"], parallel), cfg,
-    )
-    up = _with_lora(
-        layer["up_proj"], x,
-        _cp_dense(x, layer["up_proj"]["kernel"], parallel), cfg,
-    )
+    gate = _proj(layer["gate_proj"], x, cfg, parallel)
+    up = _proj(layer["up_proj"], x, cfg, parallel)
     act = jax.nn.silu(gate) * up
-    out = _with_lora(
-        layer["down_proj"], act,
-        _cp_dense(act, layer["down_proj"]["kernel"], parallel), cfg,
-    )
+    out = _proj(layer["down_proj"], act, cfg, parallel)
     return out, jnp.zeros((), jnp.float32)
 
 
@@ -952,11 +954,25 @@ def embed_tokens_vp(
 
 
 def lm_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Project hidden states to vocab logits (f32 for stable sampling/loss)."""
+    """Project hidden states to vocab logits (f32 for stable sampling/loss).
+
+    Serving trees quantized by models/quantize.py carry an int8 head
+    ({kernel_q, scale}): the [H, 152k] weight is the single largest
+    per-token HBM read of a decode step, so halving its bytes moves the
+    decode floor directly. The per-vocab-channel scale applies to the
+    f32 logits after the GEMM (exactly x @ dequant(q), reordered)."""
+    entry = params["lm_head"]
+    if "kernel_q" in entry:
+        return jnp.einsum(
+            "...h,hv->...v",
+            hidden,
+            entry["kernel_q"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        ) * entry["scale"]
     return jnp.einsum(
         "...h,hv->...v",
         hidden,
-        params["lm_head"]["kernel"],
+        entry["kernel"],
         preferred_element_type=jnp.float32,
     )
 
