@@ -118,6 +118,56 @@ def cp_dryrun(args, cfg, params):
     }))
 
 
+def _host_init_quantized(cfg):
+    """Random-init the text tree with numpy and int4-quantize each
+    projection immediately (peak host memory = one fp stack at a time,
+    never a full fp tree on device). Values are random — this bench
+    measures THROUGHPUT of the full-geometry model; quality claims need
+    real weights (PERF.md real-weight section)."""
+    from long_vita_tpu.ops.quant_matmul import quantize_int4_grouped
+
+    rng = np.random.default_rng(0)
+    l, h = cfg.num_hidden_layers, cfg.hidden_size
+    hq, hkv, d = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
+    )
+    i = cfg.intermediate_size
+
+    def q4(shape):
+        w = (rng.standard_normal(shape).astype(np.float32)) * 0.02
+        packed, scales = quantize_int4_grouped(w)
+        del w
+        return {"kernel_p4": packed, "scale4": scales}
+
+    def bf16(shape, fill=None):
+        import ml_dtypes
+
+        if fill is not None:
+            return np.full(shape, fill, ml_dtypes.bfloat16)
+        return (
+            rng.standard_normal(shape).astype(np.float32) * 0.02
+        ).astype(ml_dtypes.bfloat16)
+
+    layers = {
+        "input_norm": bf16((l, h), 1.0),
+        "post_attn_norm": bf16((l, h), 1.0),
+        "q_proj": {**q4((l, h, hq * d)), "bias": bf16((l, hq * d), 0.0)},
+        "k_proj": {**q4((l, h, hkv * d)), "bias": bf16((l, hkv * d), 0.0)},
+        "v_proj": {**q4((l, h, hkv * d)), "bias": bf16((l, hkv * d), 0.0)},
+        "o_proj": q4((l, hq * d, h)),
+        "gate_proj": q4((l, h, i)),
+        "up_proj": q4((l, h, i)),
+        "down_proj": q4((l, i, h)),
+    }
+    log("host-init: projections quantized (int4 packed)")
+    return {
+        "embed": {"embedding": bf16((cfg.vocab_size, h))},
+        "layers": layers,
+        "final_norm": bf16((h,), 1.0),
+        "lm_head": q4((h, cfg.vocab_size)),
+    }
+
+
 def mm_composite(args):
     """1M MULTIMODAL single-chip composite (VERDICT round-3 #8): the
     text-only 1M row skips the north-star regime — 4K-frame video prefill
@@ -214,10 +264,16 @@ def main():
     parser.add_argument("--chunk", type=int, default=8192)
     parser.add_argument("--decode-steps", type=int, default=16)
     parser.add_argument("--kv-quant", action="store_true")
-    parser.add_argument("--weight-quant", action="store_true",
-                        help="weight-only int8 (w8a16, models/quantize.py):"
-                             " halves the per-token weight read that floors"
-                             " decode tok/s")
+    parser.add_argument("--host-init", action="store_true",
+                        help="FULL-MODEL: numpy-init + int4-quantize on "
+                             "the host; the chip never sees bf16 weights "
+                             "(48-layer 14B on one 16 GB v5e)")
+    parser.add_argument("--weight-quant", nargs="?", const="int8",
+                        default=None, choices=["int8", "int4"],
+                        help="weight-only quantized decode "
+                             "(models/quantize.py): int8 halves, int4 "
+                             "(grouped, Pallas kernel) quarters the "
+                             "per-token weight read that floors decode")
     parser.add_argument("--frames", type=int, default=0,
                         help="multimodal composite: encode N video frames "
                              "+ scatter + chunked prefill via the real "
@@ -255,11 +311,33 @@ def main():
         mm_composite(args)
         return
 
-    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    if args.weight_quant:
-        from long_vita_tpu.models.quantize import quantize_weights_int8
+    if args.host_init:
+        # FULL-MODEL mode: the bf16 48-layer tree (28 GB) can never
+        # exist on a 16 GB v5e, so build it with numpy on the host and
+        # quantize entry-by-entry BEFORE any device transfer — the chip
+        # only ever sees the packed tree (~9.5 GB int4 incl. bf16
+        # embed). This is the first non-extrapolated 48-layer number:
+        # the bf16 reference needs >=2 accelerators for this model at
+        # all (28 GB weights), and 4+ as deployed.
+        if args.weight_quant != "int4":
+            raise SystemExit("--host-init requires --weight-quant int4")
+        params = _host_init_quantized(cfg)
+    else:
+        params = qwen2.init_qwen2_params(
+            jax.random.PRNGKey(0), cfg, jnp.bfloat16
+        )
+        if args.weight_quant == "int8":
+            from long_vita_tpu.models.quantize import quantize_weights_int8
 
-        params = jax.jit(quantize_weights_int8)(params)
+            params = jax.jit(quantize_weights_int8)(params)
+        elif args.weight_quant == "int4":
+            from long_vita_tpu.models.quantize import (
+                quantize_weights_int4_host,
+            )
+
+            params = jax.device_put(
+                quantize_weights_int4_host(jax.device_get(params))
+            )
     if args.cp:
         cp_dryrun(args, cfg, params)
         return

@@ -81,10 +81,11 @@ def main(argv=None):
                         help="context-parallel ways (KV cache sharded by "
                              "sequence; 1M-token serving)")
     parser.add_argument("--weight-quant", default=None,
-                        choices=["int8"],
-                        help="weight-only int8 serving (w8a16): halves "
-                        "the per-token HBM weight read that floors "
-                        "decode tok/s (models/quantize.py)")
+                        choices=["int8", "int4"],
+                        help="weight-only quantized serving: int8 (w8a16) "
+                        "halves, int4 (w4a16 grouped, Pallas kernel) "
+                        "quarters the per-token HBM weight read that "
+                        "floors decode tok/s (models/quantize.py)")
     parser.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache (half the memory/bandwidth)")
     parser.add_argument("--speculative", type=int, default=0,

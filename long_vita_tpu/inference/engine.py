@@ -170,16 +170,23 @@ class InferenceEngine:
         # strictly bf16 (text_generation_server.py).
         self.weight_quant = weight_quant
         if weight_quant is not None:
-            if weight_quant != "int8":
-                raise ValueError(f"unknown weight_quant {weight_quant!r}")
-            from long_vita_tpu.models.quantize import (
-                quantize_weights_int8_host,
-            )
+            # on the HOST: the device path would hold fp + quantized
+            # trees together — more HBM than the chip the quantized
+            # model is meant to fit on (quantize._quant_entry_host)
+            if weight_quant == "int8":
+                from long_vita_tpu.models.quantize import (
+                    quantize_weights_int8_host,
+                )
 
-            # on the HOST: the device path would hold fp + int8 trees
-            # together — more HBM than the chip the int8 model is meant
-            # to fit on (quantize._quant_entry_host)
-            params = quantize_weights_int8_host(params)
+                params = quantize_weights_int8_host(params)
+            elif weight_quant == "int4":
+                from long_vita_tpu.models.quantize import (
+                    quantize_weights_int4_host,
+                )
+
+                params = quantize_weights_int4_host(params)
+            else:
+                raise ValueError(f"unknown weight_quant {weight_quant!r}")
         self.mesh = mesh
         self.parallel = None
         if mesh is not None:

@@ -120,13 +120,54 @@ def quantize_weights_int8_host(params: Params, head: bool = True) -> Params:
     return dict(params, text=new_text)
 
 
+def _quant_entry_host_int4(entry: Params) -> Params:
+    """Host int4 group-quantization of one projection entry.
+
+    {kernel} -> {kernel_p4: packed int8 [..., in/2, out],
+    scale4: f32 [..., in/128, out]} (split-half nibble packing +
+    per-group scales, ops/quant_matmul.py)."""
+    from long_vita_tpu.ops.quant_matmul import quantize_int4_grouped
+
+    packed, scales = quantize_int4_grouped(entry["kernel"])
+    out = {k: v for k, v in entry.items() if k != "kernel"}
+    out["kernel_p4"], out["scale4"] = packed, scales
+    return out
+
+
+def quantize_weights_int4_host(params: Params, head: bool = True) -> Params:
+    """w4a16 serving tree (numpy, host): the seven projections +
+    lm_head as packed int4 with 128-row group scales. int4 quarters the
+    per-token weight read vs bf16 — what fits the FULL 48-layer 14B
+    geometry (7.4 GB packed vs 28 GB bf16) on one 16 GB v5e. The
+    matmuls run the ops/quant_matmul.py Pallas kernel (packed bytes
+    read once). Same scope rules as int8 (module docstring)."""
+    text = params.get("text", params)
+    layers = text["layers"]
+    if "router" in layers:
+        raise ValueError("weight_quant does not cover MoE expert stacks")
+    new_layers = dict(layers)
+    for name in PROJ_NAMES:
+        new_layers[name] = _quant_entry_host_int4(layers[name])
+    new_text = dict(text, layers=new_layers)
+    if head:
+        new_text["lm_head"] = _quant_entry_host_int4(text["lm_head"])
+    if "text" not in params:
+        return new_text
+    return dict(params, text=new_text)
+
+
 def quantized_param_specs(params: Params, specs: Params) -> Params:
     """Adapt a PartitionSpec tree to a quantized param tree.
 
     kernel_q keeps the kernel's spec (same dims); scale [..., out] takes
     the kernel spec's leading + trailing axes (the contraction dim
-    disappears). Leaves every non-quantized entry alone, so the adapted
-    tree zips with the params for device_put."""
+    disappears). int4: kernel_p4 [..., in/2, out] and scale4
+    [..., in/128, out] shard on the OUT dim only — the packed-row and
+    scale-group dims are not generally divisible by the tp degree
+    (down_proj has 13824/128 = 108 groups, not divisible by tp8), and a
+    replicated packed weight is already 4x smaller than the bf16 kernel
+    the fp spec was sized for. Leaves every non-quantized entry alone,
+    so the adapted tree zips with the params for device_put."""
     from jax.sharding import PartitionSpec as P
 
     def adapt(p_sub: Params, s_sub: Params) -> Params:
@@ -137,6 +178,12 @@ def quantized_param_specs(params: Params, specs: Params) -> Params:
             scale = P(*k[:-2], k[-1]) if len(k) >= 2 else P()
             out = {n: s for n, s in s_sub.items() if n != "kernel"}
             out["kernel_q"], out["scale"] = k, scale
+            return out
+        if "kernel_p4" in p_sub and "kernel" in s_sub:
+            k = s_sub["kernel"]
+            p4 = P(*k[:-2], None, k[-1]) if len(k) >= 2 else P()
+            out = {n: s for n, s in s_sub.items() if n != "kernel"}
+            out["kernel_p4"], out["scale4"] = p4, p4
             return out
         return {
             n: adapt(p_sub.get(n, {}), s) if isinstance(s, dict) else s

@@ -175,6 +175,10 @@ def _proj(
         out = (x @ entry["kernel_q"].astype(x.dtype)) * entry[
             "scale"
         ].astype(x.dtype)
+    elif "kernel_p4" in entry:
+        from long_vita_tpu.ops.quant_matmul import w4_matmul
+
+        out = w4_matmul(x, entry["kernel_p4"], entry["scale4"])
     else:
         out = _cp_dense(x, entry["kernel"], parallel)
     return _with_lora(entry, x, out, cfg)
@@ -962,6 +966,13 @@ def lm_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     decode floor directly. The per-vocab-channel scale applies to the
     f32 logits after the GEMM (exactly x @ dequant(q), reordered)."""
     entry = params["lm_head"]
+    if "kernel_p4" in entry:
+        from long_vita_tpu.ops.quant_matmul import w4_matmul
+
+        return w4_matmul(
+            hidden, entry["kernel_p4"], entry["scale4"],
+            out_dtype=jnp.float32,
+        )
     if "kernel_q" in entry:
         return jnp.einsum(
             "...h,hv->...v",

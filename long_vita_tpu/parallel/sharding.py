@@ -140,10 +140,10 @@ def long_vita_param_specs(
     if "vision" in params:
         specs["vision"] = _replicate_like(params["vision"])
         specs["projector"] = _replicate_like(params["projector"])
-    if any("kernel_q" in e for e in layer_params.values()
-           if isinstance(e, dict)):
-        # int8 serving tree (models/quantize.py): kernel_q keeps the
-        # kernel's spec, the per-out-channel scale takes its out axis
+    if any(("kernel_q" in e or "kernel_p4" in e)
+           for e in layer_params.values() if isinstance(e, dict)):
+        # quantized serving tree (models/quantize.py): kernel_q /
+        # kernel_p4 keep the kernel's spec; scales follow (see adapter)
         from long_vita_tpu.models.quantize import quantized_param_specs
 
         specs = quantized_param_specs(params, specs)

@@ -372,3 +372,27 @@ def test_server_continuous_mode(engine):
         assert json.loads(results[0][1])["text"] == want["text"]
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_continuous_with_int4_matches_int4_solo(engine):
+    """Serving composition: a w4a16 engine (weight_quant="int4") under
+    continuous batching reproduces its own solo generates. The pool tick
+    batches rows, so the quantized projections see rows=slots — still
+    the decode regime the Pallas kernel covers (ops/quant_matmul.py)."""
+    q_eng = InferenceEngine(
+        engine.params, engine.cfg, engine.mm, max_seq_len=512, chunk=64,
+        cache_dtype=jnp.float32, weight_quant="int4",
+    )
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, 1000, size=n).tolist() for n in (26, 49)]
+    sp = SamplingParams(greedy=True, max_new_tokens=8)
+    solo = [q_eng.generate(input_ids=p, sampling=sp) for p in prompts]
+
+    ce = ContinuousEngine(q_eng, sp, max_slots=2, tick=3)
+    rids = [ce.add_request(p) for p in prompts]
+    done = {}
+    for rid, res in ce.run_to_completion():
+        done[rid] = res
+    for rid, want in zip(rids, solo):
+        assert done[rid].token_ids == want.token_ids, rid
