@@ -223,13 +223,17 @@ class ContinuousEngine:
             return finished
 
         k = self.engine.speculative_k
+        # every active row needs k free cache rows for a verify step, and
+        # near the SEQUENCE cap (max_seq_len, not the chunk-rounded cache
+        # capacity) a verify could emit tokens past where the plain tick
+        # masks to eos — fall back to the plain per-token tick there so
+        # the two paths stay bit-identical at the boundary
+        spec_cap = min(self.cache.k.shape[2], self.engine.max_seq_len - 1)
         if (
             k > 0
             and self.sampling.greedy
-            # every active row needs k free cache rows for a verify step;
-            # near capacity fall back to the plain per-token tick
             and all(
-                int(self.lengths[i]) + k <= self.cache.k.shape[2]
+                int(self.lengths[i]) + k <= spec_cap
                 for i, s in enumerate(self.slots) if s is not None
             )
         ):

@@ -20,10 +20,19 @@ slot-pool scheduler runs in lockstep across the pod.
 Wire format (two-phase, so a decode tick costs a 64 KiB broadcast instead
 of a fixed multi-MiB slot):
 
-  1. an 8-byte header broadcast: big-endian [json_len:4 | body_len:4]
+  1. a 16-byte header broadcast: big-endian [json_len:8 | body_len:8]
+     (8-byte fields: a continuous-batching admit publishes the EXPANDED
+     bf16 tile stack, and the flagship 4096-frame workload is ~4.9 GB —
+     past a 4-byte field; an OverflowError on host 0 mid-collective would
+     hang the whole pod)
   2. a body broadcast of `bucket(body_len)` bytes, where bucket() rounds up
      to a power-of-two multiple of 64 KiB (bounds the number of distinct
      broadcast shapes XLA compiles)
+
+Oversized payloads are rejected by ``encode_payload`` (PayloadTooLarge)
+against MAX_BODY_BYTES; the server pre-checks with ``payload_nbytes`` and
+returns a 400 BEFORE taking the lockstep channel, so a too-big request can
+never desynchronize hosts.
 
 The body is the JSON metadata followed by the raw bytes of any numpy
 arrays (dtype/shape recorded in the metadata) — image tile stacks ride the
@@ -39,9 +48,17 @@ import numpy as np
 
 import jax
 
-HEADER_BYTES = 8
+HEADER_BYTES = 16
 BUCKET_BYTES = 64 * 1024
+# Sanity ceiling on one broadcast body (64 GiB — an order of magnitude above
+# the largest real payload, the ~4.9 GB 4096-frame bf16 tile stack). Checked
+# BEFORE any collective so violations fail the request, not the pod.
+MAX_BODY_BYTES = 64 * 1024**3
 SHUTDOWN = {"__ctl__": "shutdown"}
+
+
+class PayloadTooLarge(ValueError):
+    """Raised by encode_payload before any broadcast has been entered."""
 
 
 def is_primary() -> bool:
@@ -64,6 +81,18 @@ def _np_dtype(name: str) -> np.dtype:
         return np.dtype(getattr(ml_dtypes, name))
 
 
+def payload_nbytes(msg: Any, arrays: Sequence[np.ndarray] = ()) -> int:
+    """Body size (msg, arrays) would occupy on the wire — callers use it to
+    reject oversized requests with a 400 before entering the collective."""
+    meta = {
+        "msg": msg,
+        "arrays": [[a.dtype.name, list(a.shape)] for a in arrays],
+    }
+    return len(json.dumps(meta).encode("utf-8")) + sum(
+        int(a.nbytes) for a in arrays
+    )
+
+
 def encode_payload(
     msg: Any, arrays: Sequence[np.ndarray] = ()
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -75,6 +104,11 @@ def encode_payload(
     }
     raw = json.dumps(meta).encode("utf-8")
     body_len = len(raw) + sum(a.nbytes for a in arrays)
+    if body_len > MAX_BODY_BYTES:
+        raise PayloadTooLarge(
+            f"broadcast body {body_len} bytes exceeds MAX_BODY_BYTES "
+            f"{MAX_BODY_BYTES}"
+        )
     body = np.zeros((_bucket(body_len),), np.uint8)
     body[: len(raw)] = np.frombuffer(raw, np.uint8)
     off = len(raw)
@@ -82,15 +116,15 @@ def encode_payload(
         body[off : off + a.nbytes] = np.frombuffer(a.tobytes(), np.uint8)
         off += a.nbytes
     header = np.zeros((HEADER_BYTES,), np.uint8)
-    header[:4] = np.frombuffer(len(raw).to_bytes(4, "big"), np.uint8)
-    header[4:8] = np.frombuffer(body_len.to_bytes(4, "big"), np.uint8)
+    header[:8] = np.frombuffer(len(raw).to_bytes(8, "big"), np.uint8)
+    header[8:16] = np.frombuffer(body_len.to_bytes(8, "big"), np.uint8)
     return header, body
 
 
 def decode_payload(
     header: np.ndarray, body: np.ndarray
 ) -> tuple[Any, list[np.ndarray]]:
-    json_len = int.from_bytes(bytes(header[:4].tobytes()), "big")
+    json_len = int.from_bytes(bytes(header[:8].tobytes()), "big")
     meta = json.loads(body[:json_len].tobytes().decode("utf-8"))
     arrays = []
     off = json_len
@@ -121,7 +155,7 @@ def publish_blob(
     else:
         header = np.zeros((HEADER_BYTES,), np.uint8)
     header = np.asarray(multihost_utils.broadcast_one_to_all(header))
-    body_len = int.from_bytes(bytes(header[4:8].tobytes()), "big")
+    body_len = int.from_bytes(bytes(header[8:16].tobytes()), "big")
     if not is_primary():
         body = np.zeros((_bucket(body_len),), np.uint8)
     body = np.asarray(multihost_utils.broadcast_one_to_all(body))

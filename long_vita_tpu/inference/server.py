@@ -363,6 +363,7 @@ class RequestBatcher:
         self._cv = threading.Condition()
         self._queue: list[tuple] = []  # (key, req, box)
         self.batch_sizes: list[int] = []  # observability: rows per dispatch
+        self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -376,11 +377,22 @@ class RequestBatcher:
             raise box["error"]
         return box["payload"]
 
+    def stop(self, timeout: float = 60.0) -> None:
+        """Stop the scheduler thread (joins it). Called before the pod's
+        SHUTDOWN broadcast so no batcher publish can interleave with the
+        shutdown sentinel on the lockstep channel."""
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
+
     def _loop(self):
         while True:
             with self._cv:
-                while not self._queue:
+                while not self._queue and not self._stop:
                     self._cv.wait()
+                if self._stop:
+                    return
             time.sleep(self.window_s)  # let a burst accumulate
             with self._cv:
                 key = self._queue[0][0]
@@ -462,9 +474,21 @@ class ContinuousBatcher:
         self._key = None
         self.batch_sizes: list[int] = []  # rows in flight per tick
         self.trace: list[str] = []  # scheduler actions: admit/chunk/tick
+        self._stop = False
+        self._thread = None
         if start_thread:
             self._thread = threading.Thread(target=self._loop, daemon=True)
             self._thread.start()
+
+    def stop(self, timeout: float = 60.0) -> None:
+        """Stop the scheduler thread (joins it; finishes the in-flight
+        iteration first). Called before the pod's SHUTDOWN broadcast so no
+        admit/chunk/tick publish can race the shutdown sentinel."""
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
 
     def submit(self, req: dict) -> dict:
         box = self.submit_async(req)
@@ -660,8 +684,11 @@ class ContinuousBatcher:
                     not self._queue
                     and not self.ce.active
                     and not self.ce.admission_pending
+                    and not self._stop
                 ):
                     self._cv.wait()
+                if self._stop:
+                    return
             self.iteration()
 
 
@@ -804,4 +831,12 @@ def run_server(engine: InferenceEngine, host="0.0.0.0", port=5001,
         if jax.process_count() > 1:
             from long_vita_tpu.inference import multihost
 
-            multihost.shutdown()
+            # order matters on the lockstep channel: stop (and join) the
+            # batcher's scheduler thread FIRST, then take the serial-path
+            # lock, so the SHUTDOWN sentinel is guaranteed to be the last
+            # message — a concurrent admit/tick publish interleaving with
+            # it would leave hosts with differently-ordered collectives
+            if server.batcher is not None:
+                server.batcher.stop()
+            with server.generate_lock:
+                multihost.shutdown()

@@ -268,7 +268,14 @@ def w4_matmul(
     """out = x @ dequant(packed, scales); x [..., in] -> [..., out].
 
     Pallas on TPU (packed bytes read once), jnp fallback elsewhere or
-    when the shape doesn't tile (block divisibility)."""
+    when the shape doesn't tile (block divisibility).
+
+    Sharding: the Pallas path has no GSPMD partitioning rule — on a
+    tp/cp-sharded mesh XLA would gather/replicate the packed weights per
+    call. Int4 serving is SINGLE-CHIP-ONLY for now; mesh deployments use
+    w8a16 (models/quantize.py), whose matmuls shard like bf16. interpret:
+    None = auto (Pallas iff on TPU), True = Pallas in interpreter mode
+    (tests), False = force the jnp fallback."""
     n_out = packed.shape[-1]
     if not block_out:
         # bigger out-blocks amortize the per-step x/scale refetch and
@@ -282,7 +289,10 @@ def w4_matmul(
     rows = 1
     for d in lead:
         rows *= d
-    use_pallas = target_is_tpu() if interpret is None else True
+    # interpret=False means "no Pallas" off-TPU (a compiled Pallas TPU
+    # kernel cannot run on the CPU/GPU backends); only interpret=True
+    # (interpreter mode) forces the kernel path off-TPU
+    use_pallas = target_is_tpu() or interpret is True
     if (
         not use_pallas
         or packed.ndim != 2

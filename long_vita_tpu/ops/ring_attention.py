@@ -49,6 +49,32 @@ from long_vita_tpu.ops.attention_pair import (
     pair_attn_fwd,
 )
 from long_vita_tpu.ops.flash_attention import NEG_INF
+from long_vita_tpu.ops._target import target_is_tpu
+
+
+def _overlap_collectives() -> bool:
+    """Whether to let ring permutes float past unrelated compute/collectives.
+
+    On TPU the compiler fixes ONE collective issue order at compile time and
+    every core executes that same order, so a dangling async
+    collective-permute (the double-ring window jump, the last discarded scan
+    rotation) can never be joined in a different order by different cores —
+    overlap is free latency hiding. On the CPU backend the thunk executor
+    dynamically runs independent thunks concurrently PER DEVICE, so two
+    unordered in-flight collectives can be joined in opposite orders by
+    different device threads and deadlock the in-process rendezvous (40 s
+    SIGABRT; observed on the 8-device virtual gate: window-jump
+    collective-permute vs a later tp all-reduce, devices split 5/3). There
+    is no XLA CPU flag to serialize the executor, so off-TPU we thread
+    optimization_barrier data deps that impose a total order instead
+    (verified to keep the TPU overlap by benchmarks/ring_overlap_check.py).
+    """
+    import os
+
+    t = os.environ.get("LVT_RING_OVERLAP")
+    if t is not None:
+        return t != "0"
+    return target_is_tpu()
 
 
 def _axis_size(axis_name: str) -> int:
@@ -120,7 +146,7 @@ def _pvary(x, ref):
         want = tuple(sorted(set(jax.typeof(ref).vma) - set(jax.typeof(x).vma)))
     except Exception:
         return x
-    return jax.lax.pvary(x, want) if want else x
+    return jax.lax.pcast(x, want, to="varying") if want else x
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 8))
@@ -287,9 +313,17 @@ def _ring_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg,
             kv = _rotate(kv, axis_name, cp * inner_size, inner_size)
             return (o_a, lse_a, o_b, lse_b, kv), None
 
-        (o_a, lse_a, o_b, lse_b, _), _ = jax.lax.scan(
+        (o_a, lse_a, o_b, lse_b, kv_last), _ = jax.lax.scan(
             step_fn, (o_a, lse_a, o_b, lse_b, kv), jnp.arange(cp)
         )
+        if not _overlap_collectives():
+            # The final rotation's result is discarded, so that permute can
+            # dangle past the scan and overlap downstream collectives —
+            # fine on TPU (one compile-time order), rendezvous-hazardous on
+            # the CPU thunk executor. Tie the outputs to its completion.
+            o_a, lse_a, o_b, lse_b, _ = jax.lax.optimization_barrier(
+                (o_a, lse_a, o_b, lse_b, kv_last)
+            )
     else:
         # double ring: inner sweeps of `win` steps; the cross-window jump of
         # the sweep-start KV is issued BEFORE the sweep so it overlaps the
@@ -315,17 +349,36 @@ def _ring_fwd(q, k, v, axis_name, have_segs, inner_size, q_seg, kv_seg,
                 )
                 return (o_a, lse_a, o_b, lse_b, kv), None
 
-            (o_a, lse_a, o_b, lse_b, _), _ = jax.lax.scan(
+            (o_a, lse_a, o_b, lse_b, kv_f), _ = jax.lax.scan(
                 istep, (o_a, lse_a, o_b, lse_b, kv), jnp.arange(win)
             )
+            if not _overlap_collectives():
+                # last inner rotation dangles (result discarded) — order it
+                o_a, lse_a, o_b, lse_b, _ = jax.lax.optimization_barrier(
+                    (o_a, lse_a, o_b, lse_b, kv_f)
+                )
             return (o_a, lse_a, o_b, lse_b)
 
         def sweep_fn(carry, o):
             o_a, lse_a, o_b, lse_b, kv = carry
-            kv_next = _rotate_window_jump(
-                kv, axis_name, cp * inner_size, inner_size, win
-            )
-            acc = inner_sweep((o_a, lse_a, o_b, lse_b), kv, o)
+            if _overlap_collectives():
+                # issue the long hop FIRST: XLA's async collective-permute
+                # overlaps it with the whole inner sweep's compute on TPU
+                kv_next = _rotate_window_jump(
+                    kv, axis_name, cp * inner_size, inner_size, win
+                )
+                acc = inner_sweep((o_a, lse_a, o_b, lse_b), kv, o)
+            else:
+                # CPU gate: total-order the collectives. Sweep first; the
+                # jump may not START until the sweep is done (barrier in),
+                # and nothing downstream may start until it is DONE
+                # (barrier out) — at most one collective in flight.
+                acc = inner_sweep((o_a, lse_a, o_b, lse_b), kv, o)
+                acc, kv = jax.lax.optimization_barrier((acc, kv))
+                kv_next = _rotate_window_jump(
+                    kv, axis_name, cp * inner_size, inner_size, win
+                )
+                acc, kv_next = jax.lax.optimization_barrier((acc, kv_next))
             return (*acc, kv_next), None
 
         (o_a, lse_a, o_b, lse_b, kv), _ = jax.lax.scan(
@@ -493,9 +546,12 @@ def _ring_vjp_bwd(axis_name, have_segs, inner_size, window, res, g):
             )
             return (dq, kv, dkv), None
 
-        (dq, _, dkv), _ = jax.lax.scan(
+        (dq, kv_f, dkv), _ = jax.lax.scan(
             step_fn, (dq, kv, dkv), jnp.arange(cp)
         )
+        if not _overlap_collectives():
+            # final kv rotation is discarded — order it (see _ring_fwd)
+            dq, _, dkv = jax.lax.optimization_barrier((dq, kv_f, dkv))
     else:
         # uniform double-ring schedule: win-1 inner hops then one diagonal
         # (inner+1, window+1) hop per sweep — cp steps compose to identity,
@@ -534,9 +590,11 @@ def _ring_vjp_bwd(axis_name, have_segs, inner_size, window, res, g):
             )
             return (dq, kv, dkv), None
 
-        (dq, _, dkv), _ = jax.lax.scan(
+        (dq, kv_f, dkv), _ = jax.lax.scan(
             sweep_fn, (dq, kv, dkv), jnp.arange(n_win)
         )
+        if not _overlap_collectives():
+            dq, _, dkv = jax.lax.optimization_barrier((dq, kv_f, dkv))
 
     dk = dkv[0].astype(k.dtype)
     dv = dkv[1].astype(v.dtype)

