@@ -54,27 +54,28 @@ def _build_oracle(tmp: str):
     from safetensors.torch import save_file
 
     sys.path.insert(0, REPO)  # tests/ package
+    import transformers
+
     from long_vita_tpu.config import tiny_test_config
+    from long_vita_tpu.tokenizer import QWEN_CHATML_TEMPLATE, update_tokenizer
     from long_vita_tpu.utils.checkpoint_io import load_long_vita_checkpoint
     from tests.ref_oracle import make_tiny_reference
-
-    cfg = tiny_test_config()
-    ref = make_tiny_reference(cfg)
-    sd = {k: v.contiguous() for k, v in ref.state_dict().items()}
-    save_file(sd, os.path.join(tmp, "model.safetensors"))
-    params, _ = load_long_vita_checkpoint(tmp, cfg, dtype=jnp.float32)
-
-    import transformers
 
     ref_tok = "/root/reference/long_vita/models/long_vita_qwen2_intern"
     tok = transformers.Qwen2Tokenizer(
         vocab_file=f"{ref_tok}/vocab.json",
         merges_file=f"{ref_tok}/merges.txt",
     )
-    from long_vita_tpu.tokenizer import QWEN_CHATML_TEMPLATE, update_tokenizer
-
     tok = update_tokenizer(tok)
     tok.chat_template = QWEN_CHATML_TEMPLATE
+
+    # vocab must cover the real tokenizer's ids (the oracle model embeds
+    # tokenized English prompts)
+    cfg = tiny_test_config(vocab_size=-(-(len(tok) + 64) // 128) * 128)
+    ref = make_tiny_reference(cfg)
+    sd = {k: v.contiguous() for k, v in ref.state_dict().items()}
+    save_file(sd, os.path.join(tmp, "model.safetensors"))
+    params, _ = load_long_vita_checkpoint(tmp, cfg, dtype=jnp.float32)
     return params, cfg, tok, ref
 
 

@@ -90,12 +90,18 @@ def test_w8a16_generation_matches_f32(oracle_params):
 
     params, cfg = oracle_params
 
+    from long_vita_tpu.data.multimodal import ExpandedInputs
+
     class _Tok:
         def decode(self, ids, skip_special_tokens=True):
             return " ".join(str(int(t)) for t in ids)
 
     class _MM:
         tokenizer = _Tok()
+
+        def expand(self, input_ids, images=(), videos=(), labels=None,
+                   max_num_frame=None):
+            return ExpandedInputs(list(input_ids), None, None)
 
     rng = np.random.default_rng(3)
     prompt = rng.integers(0, cfg.text.vocab_size, size=20).tolist()
