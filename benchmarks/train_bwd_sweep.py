@@ -69,6 +69,13 @@ def main():
         ("fused bq2048 bk512 M4096", (2048, 512, 4096, True)),
         ("fused bq512 bk1024 M4096", (512, 1024, 4096, True)),
         ("fused bq1024 bk512 M2048", (1024, 512, 2048, True)),
+        # round-5 kv-major sweep (VERDICT #4): fewer dq partials + larger
+        # dk/dv accumulation spans; M16384 = write-once dq at 16K (VMEM
+        # risk: dk/dv f32 scratch is 1 KB per major row)
+        ("fused bq1024 bk512 M8192", (1024, 512, 8192, True)),
+        ("fused bq1024 bk512 M16384", (1024, 512, 16384, True)),
+        ("fused bq512 bk512 M8192", (512, 512, 8192, True)),
+        ("fused bq1024 bk256 M8192", (1024, 256, 8192, True)),
         ("two-pass bq1024 bk512", (1024, 512, 0, False)),
     ]
     results = {}

@@ -64,6 +64,15 @@ class PrefillJob:
     last_hidden: Optional[jnp.ndarray] = None
     media_key: str = ""     # prefix-cache fingerprint of the tile stack
     resumed_from: int = 0   # tokens restored from the prefix cache
+    # interleaved encode (VERDICT r4 #8): pixels not yet encoded ride the
+    # job; prefill_step dispatches exactly the transfer-chunks whose tiles
+    # scatter into the upcoming prompt chunk, so the pixel H2D/host-cast
+    # pipeline hides behind prefill device compute instead of fully
+    # preceding it (the reference's server encodes ALL media before the
+    # first decoder token, tasks/inference/module.py:270-362)
+    pixels: Optional[np.ndarray] = None
+    tiles_done: int = 0
+    tile_first_row: Optional[np.ndarray] = None
 
     @property
     def done(self) -> bool:
@@ -522,11 +531,31 @@ class InferenceEngine:
         ids = np.zeros((1, padded), np.int32)
         ids[0, :true_len] = input_ids
         feats = indices = None
-        if images is not None and images.shape[0] > 0:
-            feats = self._encode_images_host(images)
-            indices = jnp.asarray(
-                _pad_scatter_indices(image_indices, feats.shape[0])
-            )
+        pixels = tile_first_row = None
+        if images is not None and np.asarray(images).shape[0] > 0:
+            import os
+
+            arr = np.asarray(images)
+            n, tc = arr.shape[0], self.transfer_chunk
+            interleave = os.environ.get("LVT_INTERLEAVE_ENCODE", "1") != "0"
+            if interleave and self.mesh is None and tc and n > tc:
+                # INTERLEAVED encode: defer tile encoding to prefill_step,
+                # which dispatches each transfer-chunk just before the
+                # first prompt chunk its tiles scatter into — the pixel
+                # host-cast + H2D (the dominant encode wall cost at 1M,
+                # PERF.md) overlaps prefill device compute instead of
+                # serializing ahead of it. Off on meshes (sharded-layout
+                # policy stays with the one-shot jit, as for pipelining).
+                pixels = arr
+                tile_first_row = np.asarray(image_indices)[1].min(axis=1)
+                indices = jnp.asarray(_pad_scatter_indices(
+                    image_indices, _round_up(n, tc)
+                ))
+            else:
+                feats = self._encode_images_host(arr)
+                indices = jnp.asarray(
+                    _pad_scatter_indices(image_indices, feats.shape[0])
+                )
         media_key, cache, start = "", None, 0
         if self.prefix_cache is not None:
             from long_vita_tpu.inference.prefix_cache import media_fingerprint
@@ -541,18 +570,64 @@ class InferenceEngine:
             cache = self._make_cache(
                 batch=1, max_len=_round_up(self.max_seq_len, self.chunk)
             )
+        tiles_done = 0
+        if pixels is not None and start > 0:
+            # prefix-cache resume: tiles whose every scatter row sits inside
+            # the restored prefix are never read — skip their encodes
+            last_row = np.asarray(image_indices)[1].max(axis=1)
+            while tiles_done < pixels.shape[0] and last_row[tiles_done] < start:
+                tiles_done += 1
         return PrefillJob(
             ids=jnp.asarray(ids), feats=feats, indices=indices,
             cache=cache, true_len=true_len, padded=padded,
             start=start, media_key=media_key, resumed_from=start,
+            pixels=pixels, tile_first_row=tile_first_row,
+            tiles_done=tiles_done,
         )
+
+    def _advance_encode(self, job: PrefillJob, upto_row=None) -> None:
+        """Dispatch encode transfer-chunks until every tile that scatters
+        below `upto_row` has final features in the job buffer (all tiles
+        when None). Dispatches are async: the device runs them before the
+        next prefill chunk (queue order), while the host loop moves on to
+        casting/shipping the following pixel batch."""
+        if job.pixels is None:
+            return
+        n = job.pixels.shape[0]
+        if upto_row is None:
+            need = n
+        else:
+            mask = job.tile_first_row < upto_row
+            need = int(np.nonzero(mask)[0].max()) + 1 if mask.any() else 0
+        tc = self.transfer_chunk
+        while job.tiles_done < need:
+            i = job.tiles_done
+            part = self._encode_images(
+                self.params,
+                _host_cast_pixels(
+                    _pad_tiles(job.pixels[i : i + tc], tc),
+                    self.cache_dtype,
+                ),
+            )
+            if job.feats is None:
+                job.feats = jnp.zeros(
+                    (_round_up(n, tc), *part.shape[1:]), part.dtype
+                )
+            job.feats = self._feat_update(job.feats, part, i)
+            job.tiles_done = min(i + tc, n)
 
     def prefill_step(self, job: PrefillJob) -> bool:
         """Run ONE prompt chunk; returns True when all chunks are done."""
         start = job.start
+        self._advance_encode(job, start + self.chunk)
+        # a leading text-only chunk skips the scatter entirely (feats may
+        # not exist yet under interleaved encode)
+        feats, indices = (
+            (job.feats, job.indices) if job.feats is not None else (None, None)
+        )
         chunk_embeds = self._embed_chunk(
             self.params, job.ids[:, start : start + self.chunk],
-            job.feats, job.indices, jnp.asarray(start, jnp.int32),
+            feats, indices, jnp.asarray(start, jnp.int32),
         )
         job.last_hidden, job.cache = self._prefill_chunk(
             self.params, chunk_embeds, start, job.cache

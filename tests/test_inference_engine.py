@@ -524,3 +524,84 @@ def test_pipelined_encode_matches_oneshot():
     np.testing.assert_allclose(
         np.asarray(cache_pipe.k), np.asarray(cache_one.k), rtol=2e-5, atol=2e-5
     )
+
+
+def test_interleaved_encode_is_lazy_and_matches_oneshot():
+    """VERDICT r4 #8: with transfer_chunk set, tile encoding is deferred to
+    the prefill chunk whose rows the tiles scatter into — leading text-only
+    chunks dispatch ZERO encode work (at 1M the pixel host-cast/H2D wall
+    then hides behind prefill device compute) — and the result is
+    bit-compatible with the one-shot encode."""
+    from long_vita_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    tiles = rng.standard_normal((5, 56, 56, 3)).astype(np.float32)
+    tok = cfg.image_token_length
+    ids = rng.integers(0, 500, size=128).tolist()
+    # tiles scatter into chunk 2 and 3 (rows 70..89): chunks 0-1 are text
+    seq_idx = (70 + np.arange(5 * tok, dtype=np.int32)).reshape(5, tok)
+    indices = np.stack([np.zeros_like(seq_idx), seq_idx])
+
+    one = InferenceEngine(
+        params, cfg, None, max_seq_len=256, chunk=32,
+        cache_dtype=jnp.float32, transfer_chunk=0,
+    )
+    cache_one, hid_one, _ = one.prefill(ids, tiles, indices)
+
+    eng = InferenceEngine(
+        params, cfg, None, max_seq_len=256, chunk=32,
+        cache_dtype=jnp.float32, transfer_chunk=2,
+    )
+    job = eng.start_prefill(ids, tiles, indices)
+    assert job.pixels is not None and job.tiles_done == 0
+    eng.prefill_step(job)  # rows 0..31: text only
+    assert job.tiles_done == 0 and job.feats is None
+    eng.prefill_step(job)  # rows 32..63: text only
+    assert job.tiles_done == 0
+    eng.prefill_step(job)  # rows 64..95: tiles 0..4 all start here
+    assert job.tiles_done == 5
+    eng.prefill_step(job)  # rows 96..127
+    cache_int, hid_int, n = eng.finish_prefill(job)
+    assert n == 128
+    np.testing.assert_allclose(
+        np.asarray(hid_int), np.asarray(hid_one), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_int.k), np.asarray(cache_one.k), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_interleaved_encode_tile_straddles_chunks():
+    """A tile run straddling a chunk boundary encodes at the FIRST chunk it
+    touches and its later rows land correctly in the next chunk."""
+    from long_vita_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    params = init_long_vita_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    rng = np.random.default_rng(1)
+    tiles = rng.standard_normal((3, 56, 56, 3)).astype(np.float32)
+    tok = cfg.image_token_length
+    ids = rng.integers(0, 500, size=96).tolist()
+    # rows 26..37: tile 1 straddles the 32-boundary
+    seq_idx = (26 + np.arange(3 * tok, dtype=np.int32)).reshape(3, tok)
+    indices = np.stack([np.zeros_like(seq_idx), seq_idx])
+
+    one = InferenceEngine(
+        params, cfg, None, max_seq_len=128, chunk=32,
+        cache_dtype=jnp.float32, transfer_chunk=0,
+    )
+    cache_one, hid_one, _ = one.prefill(ids, tiles, indices)
+
+    eng = InferenceEngine(
+        params, cfg, None, max_seq_len=128, chunk=32,
+        cache_dtype=jnp.float32, transfer_chunk=2,
+    )
+    cache_int, hid_int, _ = eng.prefill(ids, tiles, indices)
+    np.testing.assert_allclose(
+        np.asarray(hid_int), np.asarray(hid_one), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_int.k), np.asarray(cache_one.k), rtol=2e-5, atol=2e-5
+    )
