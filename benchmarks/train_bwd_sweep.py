@@ -30,7 +30,6 @@ def main():
         num_hidden_layers=layers, num_attention_heads=40,
         num_key_value_heads=8, rope_theta=1e6,
     )
-    params = qwen2.init_qwen2_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, seq)))
     positions = jnp.broadcast_to(jnp.arange(seq), (1, seq))
@@ -55,7 +54,10 @@ def main():
             )
             return params, loss
 
-        return jax.jit(step)
+        # donate: the old params buffer is re-used for the update — without
+        # it the step holds 3 copies of the 5.5 GB 4-layer params (p0 +
+        # grads + new) and OOMs a 16 GB v5e at the margin
+        return jax.jit(step, donate_argnums=0)
 
     h, hq, hkv, d, i = (cfg.hidden_size, cfg.num_attention_heads,
                         cfg.num_key_value_heads, cfg.head_dim,
@@ -73,27 +75,30 @@ def main():
         # dk/dv accumulation spans; M16384 = write-once dq at 16K (VMEM
         # risk: dk/dv f32 scratch is 1 KB per major row)
         ("fused bq1024 bk512 M8192", (1024, 512, 8192, True)),
-        ("fused bq1024 bk512 M16384", (1024, 512, 16384, True)),
         ("fused bq512 bk512 M8192", (512, 512, 8192, True)),
-        ("fused bq1024 bk256 M8192", (1024, 256, 8192, True)),
         ("two-pass bq1024 bk512", (1024, 512, 0, False)),
+        ("two-pass bq512 bk1024", (512, 1024, 0, False)),
     ]
     results = {}
-    p0 = params
     for name, (bq, bk, bkM, fused) in cases:
         fa.BWD_BLOCK_Q_CAP = bq
         fa.BWD_BLOCK_KV_CAP = bk
         fa.BWD_BLOCK_KV_MAJOR = bkM
         fa._FUSED_BWD = fused
+        p = None
         try:
+            # fresh on-device init per case (donated steps consume params)
+            p = qwen2.init_qwen2_params(
+                jax.random.PRNGKey(0), cfg, jnp.bfloat16
+            )
             step = make_step()
             t0 = time.time()
-            p, loss = step(p0)
+            p, loss = step(p)
             _ = jax.device_get(loss)
             compile_s = time.time() - t0
             t0 = time.time()
             for _ in range(3):
-                p, loss = step(p0)
+                p, loss = step(p)
             _ = jax.device_get(loss)
             dt = (time.time() - t0) / 3
             mfu = flops / dt / 1e12 / 197.0
@@ -102,6 +107,8 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"{name}: FAILED {str(e)[:140]}")
             results[name] = None
+        finally:
+            del p
     print(json.dumps(results))
 
 

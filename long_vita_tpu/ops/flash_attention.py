@@ -41,10 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.0**30
 
-# Tuned on v5e (benchmarks/flash_tuning.py + end-to-end bench.py):
-# kernel-only 512x2048 measures fastest (95.0 TFLOP/s) but 1024x1024
-# (93.3) wins END-TO-END (71.4% vs 69.0% model MFU at 16K) — it pipelines
-# better against the surrounding GEMMs. 2048x1024 exceeds VMEM.
+# Tuned on v5e (benchmarks/flash_tuning.py, fwd_kernel_lab.py, bench.py):
+# 1024x1024 wins end-to-end; the block grid around it (2048x512 /
+# 1024x2048 / 512x1024) measures 70.7-103.5 TF/s vs 111.7 here
+# (scan-chained, 16K/40h/D128). Round 5 promoted three lab variants into
+# the forward kernel — cheap 1-D-iota masks, interior-block fastpath,
+# lane-wide m/l scratch — lifting it from 107.6 to 111.7 TF/s at the
+# bench shape (official splash-attention kernel: 106.0 at the same
+# shape/blocks). 2048x1024 exceeds VMEM.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
 # Backward block caps (read at trace time). Swept on v5e at 16K/40h/d128:
@@ -56,8 +60,13 @@ BWD_BLOCK_KV_CAP = 512
 # Fused one-pass backward: dq partials are materialized once per kv MAJOR
 # block (splash-attention pattern) — the bigger the major block, the fewer
 # dq partial copies, bounded by the f32 dk/dv accumulators in VMEM.
-# Swept in the 16K train step on v5e: M4096 1514 ms vs M2048 1519 ms
-# (two-pass 1595 ms); bq 1024 bk 512 remain the best backward caps.
+# Round-5 re-sweep in the donated 16K/4-layer train step (train_bwd_sweep):
+# fused M4096 1344 ms (0.711 MFU) vs two-pass 1427 ms (0.670) — the fused
+# kernel wins END-TO-END even though kernel-level scan-chained timing has
+# two-pass 23% faster (57.2 vs 74.1 ms; splash shows the same inversion);
+# inside the remat step the two-pass's extra k/v re-read lands on an
+# HBM-saturated phase. M8192+ fails to compile (fused dk/dv VMEM scratch).
+# bq 1024 bk 512 remain the best backward caps.
 BWD_BLOCK_KV_MAJOR = 4096
 # fused-backward dq-partials HBM budget: past this the two-pass kernels
 # (O(1) dq memory) take over — e.g. single-chip 128K text-only training
@@ -96,21 +105,30 @@ def _round_up(a: int, b: int) -> int:
 
 def _mask_block(
     q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
-    qseg_ref, kseg_ref,
+    qseg_ref, kseg_ref, *, skip_causal=False,
 ):
-    """kv-length / causal / segment mask for a [BQ, BK] logit block."""
+    """kv-length / causal / segment mask for a [BQ, BK] logit block.
+
+    1-D iotas ([BQ,1] vs [1,BK]) broadcast-compared cost ~BQ+BK vector
+    elements instead of 2*BQ*BK (fwd_kernel_lab.py "cheap-mask": +2%).
+    skip_causal: the caller proved the block is strictly below the causal
+    diagonal and inside kv_len — only the segment compare remains."""
+    if skip_causal:
+        if qseg_ref is None:
+            return None
+        return qseg_ref[0, 0, :][:, None] == kseg_ref[0, 0, :][None, :]
     kv_idx = jk * block_kv + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_kv), 1
+        jnp.int32, (1, block_kv), 1
     )
     mask = kv_idx < k_len
     if causal:
         q_pos = q_off + iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 0
+            jnp.int32, (block_q, 1), 0
         )
-        kv_pos = k_off + jk * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 1
-        )
+        kv_pos = k_off + kv_idx
         mask = jnp.logical_and(mask, kv_pos <= q_pos)
+    else:
+        mask = jnp.broadcast_to(mask, (block_q, block_kv))
     if qseg_ref is not None:
         mask = jnp.logical_and(
             mask, qseg_ref[0, 0, :][:, None] == kseg_ref[0, 0, :][None, :]
@@ -165,12 +183,22 @@ def _fwd_kernel(
     # blocks entirely beyond the valid kv length.
     q_blk_max = q_off + (iq + 1) * block_q - 1  # largest q position in block
     kv_blk_min = k_off + jk * block_kv  # smallest kv position in block
+    kv_blk_max = kv_blk_min + block_kv - 1
     compute = jk * block_kv < k_len
     if causal:
         compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+    # Interior blocks (strictly below the causal diagonal band and fully
+    # inside kv_len) need no length/causal mask at all — splash-style
+    # full/partial block separation (fwd_kernel_lab.py "fastpath": at 16K,
+    # 120 of 136 computed blocks per head are interior; +2% with the
+    # cheap-mask, +3.8% total vs the round-4 kernel).
+    interior = (jk + 1) * block_kv <= k_len
+    if causal:
+        interior = jnp.logical_and(
+            interior, kv_blk_max < q_off + iq * block_q
+        )
 
-    @pl.when(compute)
-    def _step():
+    def _step(skip_mask: bool):
         q = q_ref[0, 0]  # [BQ, D]
         k = k_ref[0, 0]  # [BK, D]
         s = jax.lax.dot_general(
@@ -179,17 +207,24 @@ def _fwd_kernel(
 
         mask = _mask_block(
             q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
-            qseg_ref, kseg_ref,
+            qseg_ref, kseg_ref, skip_causal=skip_mask,
         )
-        s = jnp.where(mask, s, NEG_INF)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[...]  # [BQ, 1]
+        # m/l scratch rides full [BQ, LANE] tiles ("wide-ml"): a [BQ, 1]
+        # f32 column occupies the same (8,128) VMEM tile but its updates
+        # relayout; broadcasting keeps everything lane-aligned.
+        m_prev = m_ref[...]  # [BQ, LANE]
         m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [BQ, BK] f32
+        p = jnp.exp(s - m_new[:, :1])  # [BQ, BK] f32
 
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_cur = jnp.sum(p, axis=1, keepdims=True)
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            l_cur, m_prev.shape
+        )
         m_ref[...] = m_new
 
         v = v_ref[0, 0]  # [BK, D]
@@ -197,14 +232,22 @@ def _fwd_kernel(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[...] = acc_ref[...] * alpha + pv
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(jnp.logical_and(compute, interior))
+    def _fast():
+        _step(True)
+
+    @pl.when(jnp.logical_and(compute, jnp.logical_not(interior)))
+    def _slow():
+        _step(False)
 
     @pl.when(jk == num_kv_blocks - 1)
     def _finalize():
-        l = l_ref[...]
+        l = l_ref[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
-        lse = m_ref[...] + jnp.log(l_safe)
+        lse = m_ref[:, :1] + jnp.log(l_safe)
         lse = jnp.where(l == 0.0, NEG_INF, lse)
         lse_ref[0, 0, 0] = lse
 
@@ -249,20 +292,27 @@ def _fwd_quant_kernel(
     compute = jk * block_kv < k_len
     if causal:
         compute = jnp.logical_and(compute, kv_blk_min <= q_blk_max)
+    # interior fastpath (see _fwd_kernel): blocks strictly below the causal
+    # diagonal and inside kv_len skip the mask build + select entirely
+    interior = (jk + 1) * block_kv <= k_len
+    if causal:
+        interior = jnp.logical_and(
+            interior, kv_blk_min + block_kv - 1 < q_off + iq * block_q
+        )
 
-    @pl.when(compute)
-    def _step():
+    def _step(skip_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0].astype(q.dtype)  # exact cast, |v| <= 127
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
         s = s * ks_ref[0, 0]  # [1, BK] row scales broadcast over q rows
-        mask = _mask_block(
-            q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
-            None, None,
-        )
-        s = jnp.where(mask, s, NEG_INF)
+        if not skip_mask:
+            mask = _mask_block(
+                q_off, k_off, k_len, iq, jk, block_q, block_kv, causal,
+                None, None,
+            )
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -280,6 +330,14 @@ def _fwd_quant_kernel(
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(jnp.logical_and(compute, interior))
+    def _fast():
+        _step(True)
+
+    @pl.when(jnp.logical_and(compute, jnp.logical_not(interior)))
+    def _slow():
+        _step(False)
 
     @pl.when(jk == num_kv_blocks - 1)
     def _finalize():
@@ -363,8 +421,8 @@ def _fwd(
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
         ],
     )
 
@@ -845,9 +903,11 @@ def _flash_core_bwd(causal, block_q, block_kv, true_head_dim, res, g):
     # very long NON-cp sequences (ring/CP paths bound skv to chunk sizes)
     # those transient copies would exceed HBM — fall back to the O(1)-dq
     # two-pass kernels past the budget.
-    n_kv_major = max(1, k.shape[2] // BWD_BLOCK_KV_MAJOR)
-    dq_partial_bytes = n_kv_major * q.size * q.dtype.itemsize
-    use_fused = _FUSED_BWD and dq_partial_bytes <= FUSED_BWD_DQ_BYTES_CAP
+    use_fused = _FUSED_BWD and BWD_BLOCK_KV_MAJOR > 0
+    if use_fused:
+        n_kv_major = max(1, k.shape[2] // BWD_BLOCK_KV_MAJOR)
+        dq_partial_bytes = n_kv_major * q.size * q.dtype.itemsize
+        use_fused = dq_partial_bytes <= FUSED_BWD_DQ_BYTES_CAP
     impl = _bwd_fused_impl if use_fused else _bwd_impl
     dq, dk, dv = impl(
         q, k, v, g, lse, delta, q_offset, kv_offset, kv_len, segs,
@@ -1080,11 +1140,12 @@ def _bwd_pair_pallas(
     ko = jnp.zeros((1,), jnp.int32)
     klen = jnp.asarray([skv], jnp.int32)
 
-    n_kv_major = max(1, kp.shape[2] // BWD_BLOCK_KV_MAJOR)
-    use_fused = (
-        _FUSED_BWD
-        and n_kv_major * qp.size * qp.dtype.itemsize <= FUSED_BWD_DQ_BYTES_CAP
-    )
+    use_fused = _FUSED_BWD and BWD_BLOCK_KV_MAJOR > 0
+    if use_fused:
+        n_kv_major = max(1, kp.shape[2] // BWD_BLOCK_KV_MAJOR)
+        use_fused = (
+            n_kv_major * qp.size * qp.dtype.itemsize <= FUSED_BWD_DQ_BYTES_CAP
+        )
     impl = _bwd_fused_impl if use_fused else _bwd_impl
     dq, dk, dv = impl(
         qp, kp, vp, gp, lse_p, delta_p, qo, ko, klen, segs,

@@ -250,6 +250,32 @@ def test_fused_backward_matches_two_pass(causal):
         )
 
 
+def test_backward_major_zero_routes_two_pass():
+    """BWD_BLOCK_KV_MAJOR=0 (sweep knob for 'no fused kernel') must fall
+    back to the two-pass kernels, not divide by zero."""
+    from long_vita_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 256, 1, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 256, 1, 64)), jnp.float32)
+
+    def f(q):
+        o = fa.flash_attention(q, k, v, causal=True, block_q=128,
+                               block_kv=128)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    ref = jax.grad(f)(q)
+    old_major, old_fused = fa.BWD_BLOCK_KV_MAJOR, fa._FUSED_BWD
+    fa.BWD_BLOCK_KV_MAJOR, fa._FUSED_BWD = 0, True
+    try:
+        got = jax.grad(f)(q)
+    finally:
+        fa.BWD_BLOCK_KV_MAJOR, fa._FUSED_BWD = old_major, old_fused
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_flash_quant_matches_dequantized_reference():
     """Int8-fused flash forward == dequantize + XLA attention."""
