@@ -228,7 +228,7 @@ def mm_composite(args):
 
     import os
 
-    interleaved = os.environ.get("LVT_INTERLEAVE_ENCODE", "1") != "0"
+    interleaved = os.environ.get("LVT_INTERLEAVE_ENCODE", "0") == "1"
     t_cold, _, cache = once()
     log(f"compile+first composite (interleave={interleaved}): {t_cold:.1f}s")
     del cache

@@ -19,6 +19,7 @@ module.py generate -> generation.py token loop) and the HF generate path
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -141,11 +142,21 @@ class InferenceEngine:
         speculative_k: int = 0,
         transfer_chunk: int = 256,
         weight_quant: Optional[str] = None,
+        interleave_encode: Optional[bool] = None,
     ):
         """mesh: optional jax Mesh for multi-chip serving — params shard by
         the training rules (TP on heads/MLP/vocab), the KV cache shards its
         head dim over tp; GSPMD inserts the TP collectives (the reference
-        needs a whole Megatron inference stack for this, SURVEY.md C21)."""
+        needs a whole Megatron inference stack for this, SURVEY.md C21).
+
+        interleave_encode: defer tile encoding into the prefill chunk loop
+        (see start_prefill). Default OFF — the round-5 1M composite A/B on
+        the network-attached v5e measured interleaved 255.9 s TTFT vs
+        upfront-pipelined 217.6 s (same session, same chip): splicing
+        pixel shipping between prefill dispatches loses the back-to-back
+        wire/tower overlap the upfront loop gets. Opt in (or set
+        LVT_INTERLEAVE_ENCODE=1) on directly-attached hosts where H2D is
+        PCIe and the encode wall is small."""
         self.cfg = cfg
         self.mm = mm_tokenizer
         self.max_seq_len = max_seq_len
@@ -155,6 +166,11 @@ class InferenceEngine:
         self.kv_quant = kv_quant
         self.decode_segment = decode_segment
         self.transfer_chunk = transfer_chunk
+        if interleave_encode is None:
+            interleave_encode = (
+                os.environ.get("LVT_INTERLEAVE_ENCODE", "0") == "1"
+            )
+        self.interleave_encode = interleave_encode
         self.eos_id = cfg.text.eos_token_id
         # cross-request prefix KV reuse (inference/prefix_cache.py): skips
         # re-prefilling a shared prompt prefix — multi-turn chat over one
@@ -533,18 +549,19 @@ class InferenceEngine:
         feats = indices = None
         pixels = tile_first_row = None
         if images is not None and np.asarray(images).shape[0] > 0:
-            import os
-
             arr = np.asarray(images)
             n, tc = arr.shape[0], self.transfer_chunk
-            interleave = os.environ.get("LVT_INTERLEAVE_ENCODE", "1") != "0"
-            if interleave and self.mesh is None and tc and n > tc:
-                # INTERLEAVED encode: defer tile encoding to prefill_step,
-                # which dispatches each transfer-chunk just before the
-                # first prompt chunk its tiles scatter into — the pixel
-                # host-cast + H2D (the dominant encode wall cost at 1M,
-                # PERF.md) overlaps prefill device compute instead of
-                # serializing ahead of it. Off on meshes (sharded-layout
+            if (self.interleave_encode and self.mesh is None and tc
+                    and n > tc):
+                # INTERLEAVED encode (opt-in): defer tile encoding to
+                # prefill_step, which dispatches each transfer-chunk just
+                # before the first prompt chunk its tiles scatter into.
+                # Measured SLOWER than the upfront pipelined loop on a
+                # network-attached chip (round-5 A/B in PERF.md: 255.9 vs
+                # 217.6 s composite TTFT) — the upfront loop's back-to-back
+                # dispatches overlap wire transfer i+1 with tower i, which
+                # splicing prefill chunks between encodes breaks. Kept for
+                # PCIe-attached hosts. Off on meshes (sharded-layout
                 # policy stays with the one-shot jit, as for pipelining).
                 pixels = arr
                 tile_first_row = np.asarray(image_indices)[1].min(axis=1)

@@ -552,7 +552,7 @@ def test_interleaved_encode_is_lazy_and_matches_oneshot():
 
     eng = InferenceEngine(
         params, cfg, None, max_seq_len=256, chunk=32,
-        cache_dtype=jnp.float32, transfer_chunk=2,
+        cache_dtype=jnp.float32, transfer_chunk=2, interleave_encode=True,
     )
     job = eng.start_prefill(ids, tiles, indices)
     assert job.pixels is not None and job.tiles_done == 0
@@ -596,7 +596,7 @@ def test_interleaved_encode_tile_straddles_chunks():
 
     eng = InferenceEngine(
         params, cfg, None, max_seq_len=128, chunk=32,
-        cache_dtype=jnp.float32, transfer_chunk=2,
+        cache_dtype=jnp.float32, transfer_chunk=2, interleave_encode=True,
     )
     cache_int, hid_int, _ = eng.prefill(ids, tiles, indices)
     np.testing.assert_allclose(
