@@ -43,15 +43,33 @@ def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarra
 
     q: [B, S, Hq, D], k: [B, S, Hk, D]; cos/sin: [B, S, D] or [S, D].
     Computation in f32, result cast back to input dtype.
-    """
+
+    Half-split formulation: the textbook `x*cos + rotate_half(x)*sin`
+    materializes the rotate_half CONCAT as an f32 [B, S, H, D] HBM
+    transient (~4.7 ms/layer at 16K/40h — gemm_ceiling_probe.py glue
+    itemization). Computing the two output halves directly and casting
+    each to the input dtype BEFORE the output concat is element-for-
+    element the same f32 math (x1*cos - x2*sin / x2*cos + x1*sin with
+    the duplicated-half cos/sin tables), but every intermediate stays
+    inside one XLA fusion — the only HBM traffic is the bf16 read of x
+    and write of the result."""
     if cos.ndim == 2:
         cos = cos[None]
         sin = sin[None]
-    cos = cos[:, :, None, :]  # [B, S, 1, D]
-    sin = sin[:, :, None, :]
+    half = q.shape[-1] // 2
+    # duplicated-half layout: cos[..., :half] == cos[..., half:]
+    cos_h = cos[:, :, None, :half].astype(jnp.float32)  # [B, S, 1, D/2]
+    sin_h = sin[:, :, None, :half].astype(jnp.float32)
 
     def _rot(x):
-        xf = x.astype(jnp.float32)
-        return (xf * cos + rotate_half(xf) * sin).astype(x.dtype)
+        x1 = x[..., :half].astype(jnp.float32)
+        x2 = x[..., half:].astype(jnp.float32)
+        return jnp.concatenate(
+            [
+                (x1 * cos_h - x2 * sin_h).astype(x.dtype),
+                (x2 * cos_h + x1 * sin_h).astype(x.dtype),
+            ],
+            axis=-1,
+        )
 
     return _rot(q), _rot(k)
