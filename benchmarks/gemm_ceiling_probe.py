@@ -155,6 +155,30 @@ def main():
         qwen2.dot_product_attention = real_attn
     report("full layer minus attention (glue incl.)", dt, gemm_flops)
 
+    # (b2/b3) itemize the glue: rope identity, then also norm identity —
+    # the per-piece cost bounds what a fused-layer megakernel could buy
+    real_rope = qwen2.apply_rope
+    real_norm = qwen2.rms_norm
+
+    def fake_rope(q, k, cos, sin):
+        return q, k
+
+    def fake_norm(x, weight, eps):
+        return x
+
+    qwen2.dot_product_attention = fake_attn
+    qwen2.apply_rope = fake_rope
+    try:
+        dt = time_loop(layer_noattn, x1, params)
+        report("  minus attention, minus rope", dt, gemm_flops)
+        qwen2.rms_norm = fake_norm
+        dt = time_loop(layer_noattn, x1, params)
+        report("  minus attention, rope and norms", dt, gemm_flops)
+    finally:
+        qwen2.dot_product_attention = real_attn
+        qwen2.apply_rope = real_rope
+        qwen2.rms_norm = real_norm
+
     # (c) the real full layer for the same-timing composite cross-check
     def layer_full(x, params):
         hidden, _ = qwen2.qwen2_decoder(params, x, positions, cfg)
